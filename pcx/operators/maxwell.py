@@ -1,0 +1,149 @@
+"""Matrix-free penalized Maxwell operator in Fourier space.
+
+Implements the kernel-compensated eigenproblem
+    (A M A^H + pnt * B^H B + shift) x = lambda x
+with the Fourier-domain-iterate design of the reference's Paper-2 code
+(paper_2/pcfft.py:130-181): the LOBPCG block lives in Fourier space, so one
+operator application costs exactly one batched forward + inverse 3-D FFT
+(bracketing the physical-space dielectric apply), and both the divergence
+penalty and the preconditioner are zero-FFT block-diagonal multiplies.
+
+    ama(x)    = Ablk(D_A) . ifftn . M . fftn . Ablk(-conj(D_A)) x
+    ama_bb(x) = ama(x) + Hblk(pnt * B) x + shift * x
+    precond(x)= Hblk((A A^H + pnt B^H B + shift)^{-1}) x
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pcx import geometry, lattices
+from pcx.config import ProblemConfig, SCAL, set_relaxation, block_width
+from pcx.operators import symbols as sym
+from pcx.operators import dielectric as diel_mod
+from pcx.operators.blocks import a_block, h_block
+
+_SPATIAL_AXES = (-3, -2, -1)
+
+
+def ama(x: jnp.ndarray, d_a: jnp.ndarray, diel: Callable) -> jnp.ndarray:
+    """A M A^H applied to a Fourier-space block (..., 3, N, N, N).
+
+    Reference: AMA, paper_2/pcfft.py:130-158 (2 batched 3-D FFTs per call).
+    """
+    y = a_block(x, -d_a.conj())
+    y = jnp.fft.fftn(y, axes=_SPATIAL_AXES)
+    y = diel(y)
+    y = jnp.fft.ifftn(y, axes=_SPATIAL_AXES)
+    return a_block(y, d_a)
+
+
+def ama_bb(x: jnp.ndarray, d_a: jnp.ndarray, b: sym.HermSymbol,
+           diel: Callable, shift: float = 0.0) -> jnp.ndarray:
+    """A M A^H + pnt B^H B (+ shift) — the penalized HPD operator.
+
+    ``b`` must already include the penalty factor pnt.
+    Reference: AMA_BB, paper_2/pcfft.py:160-181.
+    """
+    y = ama(x, d_a, diel) + h_block(x, b)
+    if shift:
+        y = y + shift * x
+    return y
+
+
+@dataclasses.dataclass(frozen=True)
+class MaxwellProblem:
+    """Assembled single-k-point eigenproblem: symbols + dielectric + policy.
+
+    Mirrors uniform_initialization + pc_mfd_handle
+    (paper_2/numerical_experiments.py:33-85).
+    """
+
+    n: int
+    alpha: Tuple[float, float, float]
+    d_a: jnp.ndarray                  # curl symbol, scaled (3,N,N,N) complex
+    b: sym.HermSymbol                 # pnt-scaled penalty symbol
+    inv: sym.HermSymbol               # preconditioner symbol
+    diel: diel_mod.DielectricOp
+    shift: float
+    pnt: float
+    scal: float = SCAL
+
+    # -- operator handles (all jit-traceable) --------------------------------
+
+    def a_apply(self, x):
+        """Unpenalized A M A^H — used by the validation recompute
+        (reference: numerical_experiments.py:81)."""
+        return ama(x, self.d_a, self.diel)
+
+    def h_apply(self, x):
+        """Penalized operator incl. shift (reference: num_exp.py:82)."""
+        return ama_bb(x, self.d_a, self.b, self.diel, self.shift)
+
+    def p_apply(self, x):
+        """Preconditioner (A A^H + pnt B^H B + shift)^{-1}: zero FFTs
+        (reference: num_exp.py:83)."""
+        return h_block(x, self.inv)
+
+    @property
+    def dof_shape(self):
+        return (3, self.n, self.n, self.n)
+
+
+def assemble_symbols(n: int, k: int, ct: np.ndarray, alpha, pnt: float,
+                     shift: float, scal: float = SCAL, dtype=jnp.complex128):
+    """Build (d_a, b, inv) for one k-point with the reference scaling chain
+    (paper_2/numerical_experiments.py:55-63)."""
+    d, di = sym.curl_symbols(n, k, ct, scal=scal)
+    d_a = sym.shift_symbol(d, di, alpha, scal=scal)
+    b_raw = sym.penalty_symbol(d_a)
+    inv = sym.inverse_penalized(b_raw, pnt, shift=shift)
+
+    d_a = d_a / scal
+    b = sym.HermSymbol(pnt * b_raw.diag / scal**2, pnt * b_raw.sdiag / scal**2)
+    inv = sym.HermSymbol(inv.diag * scal**2, inv.sdiag * scal**2)
+
+    real_dtype = jnp.zeros((), dtype=dtype).real.dtype
+    return (
+        jnp.asarray(d_a, dtype=dtype),
+        sym.HermSymbol(jnp.asarray(b.diag, dtype=real_dtype),
+                       jnp.asarray(b.sdiag, dtype=dtype)),
+        sym.HermSymbol(jnp.asarray(inv.diag, dtype=real_dtype),
+                       jnp.asarray(inv.sdiag, dtype=dtype)),
+    )
+
+
+def assemble_problem(cfg: ProblemConfig, alpha,
+                     dtype=jnp.complex128,
+                     diel: Optional[diel_mod.DielectricOp] = None) -> MaxwellProblem:
+    """Full problem assembly for one k-point.
+
+    Reference call chain: set_relaxation -> fft_blocks -> inverse_3_times_3_B
+    -> scaling -> dielectric handle (numerical_experiments.py:33-85).
+    """
+    (shift, _rlx), pnt = set_relaxation(alpha, scal=cfg.scal)
+    ct = lattices.ct_matrix(cfg.lattice) if cfg.lattice else np.eye(3)
+    d_a, b, inv = assemble_symbols(cfg.n, cfg.k, ct, alpha, pnt, shift,
+                                   scal=cfg.scal, dtype=dtype)
+    if diel is None:
+        diel = diel_mod.build(cfg.diel_type, cfg.n, cfg.lattice,
+                              eps_opt=cfg.eps_opt, k=cfg.k, dtype=dtype)
+    return MaxwellProblem(n=cfg.n, alpha=tuple(np.asarray(alpha, dtype=float)),
+                          d_a=d_a, b=b, inv=inv, diel=diel,
+                          shift=float(shift), pnt=float(pnt), scal=cfg.scal)
+
+
+def random_block(key, n: int, m: int, dtype=jnp.complex128) -> jnp.ndarray:
+    """Random initial block, shape (m, 3, N, N, N)
+    (reference: numerical_experiments.py:66 uses rand + 1j*rand)."""
+    real_dtype = jnp.zeros((), dtype=dtype).real.dtype
+    k1, k2 = jax.random.split(key)
+    shape = (m, 3, n, n, n)
+    return (jax.random.uniform(k1, shape, dtype=real_dtype)
+            + 1j * jax.random.uniform(k2, shape, dtype=real_dtype)).astype(dtype)
