@@ -1,0 +1,277 @@
+"""Band-structure drivers: single-k-point solve and the full BZ sweep with
+checkpoint/resume, warm starts, and failure containment.
+
+Reference: eigen_1p (numerical_experiments.py:209-247) and bandgap
+(numerical_experiments.py:313-496).  TPU-native design: the LOBPCG solve is
+jitted ONCE per (grid, block-width, dtype) with the k-dependent symbols as
+*arguments*, so the entire sweep reuses one executable — no per-k-point
+recompilation (the reference re-builds CUDA graphs per call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pcx import lattices, validate
+from pcx.config import (GAP, MAXITER, NEV, TOL, ProblemConfig, SCAL,
+                        block_width, set_relaxation)
+from pcx.io import BandLibrary
+from pcx.operators import dielectric as diel_mod
+from pcx.operators import maxwell
+from pcx.operators import symbols as sym
+from pcx.operators.blocks import h_block
+from pcx.solvers import lobpcg as lob
+from pcx.utils import GREEN, RED, RESET, YELLOW
+
+
+@dataclasses.dataclass
+class EigenResult:
+    omega: np.ndarray            # penalized frequencies (nev,)
+    omega_re: np.ndarray         # recomputed frequencies (nev,)
+    lambdas: np.ndarray          # raw Ritz values (m,), shift removed
+    x: jnp.ndarray               # Ritz vectors (m, 3, N, N, N)
+    iterations: int
+    wall_time: float
+    status: int
+    report: Optional[validate.ValidationReport]
+
+
+class KPointSolver:
+    """Reusable jitted solver for one (config, dielectric) across k-points."""
+
+    def __init__(self, cfg: ProblemConfig, dtype=jnp.complex128,
+                 tol: float = TOL, maxiter: int = MAXITER,
+                 solver: str = "softlock",
+                 diel: Optional[diel_mod.DielectricOp] = None):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.tol = tol
+        self.maxiter = maxiter
+        self.locking = solver != "nolock"
+        self.diel = diel if diel is not None else diel_mod.build(
+            cfg.diel_type, cfg.n, cfg.lattice, eps_opt=cfg.eps_opt,
+            k=cfg.k, dtype=dtype)
+        self.ct = (lattices.ct_matrix(cfg.lattice) if cfg.lattice
+                   else np.eye(3))
+        # k-independent symbol parts, built once (reference computes d_fft,
+        # di_fft once per sweep, numerical_experiments.py:352).
+        self._d, self._di = sym.curl_symbols(cfg.n, cfg.k, self.ct,
+                                             scal=cfg.scal)
+
+    @lru_cache(maxsize=8)
+    def _jitted(self, m: int):
+        nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
+                                      self.locking)
+        diel = self.diel
+
+        @partial(jax.jit, static_argnames=())
+        def run(d_a, b, inv, shift, x0):
+            def h_func(v):
+                return maxwell.ama_bb(v, d_a, b, diel) + shift * v
+
+            def p_func(v):
+                return h_block(v, inv)
+
+            return lob.lobpcg_sep(h_func, p_func, x0, nev, tol=tol,
+                                  maxiter=maxiter, locking=locking)
+
+        @jax.jit
+        def a_apply(d_a, x):
+            return maxwell.ama(x, d_a, diel)
+
+        return run, a_apply
+
+    def symbols_for(self, alpha):
+        """k-dependent symbols with the reference scaling chain
+        (numerical_experiments.py:422-446)."""
+        cfg = self.cfg
+        (shift, _), pnt = set_relaxation(alpha, scal=cfg.scal)
+        d_a = sym.shift_symbol(self._d, self._di, alpha, scal=cfg.scal)
+        b_raw = sym.penalty_symbol(d_a)
+        inv = sym.inverse_penalized(b_raw, pnt, shift=shift)
+        scal = cfg.scal
+        d_a = d_a / scal
+        b = sym.HermSymbol(pnt * b_raw.diag / scal**2,
+                           pnt * b_raw.sdiag / scal**2)
+        inv = sym.HermSymbol(inv.diag * scal**2, inv.sdiag * scal**2)
+        rdt = jnp.zeros((), dtype=self.dtype).real.dtype
+        return (
+            jnp.asarray(d_a, dtype=self.dtype),
+            sym.HermSymbol(jnp.asarray(b.diag, rdt),
+                           jnp.asarray(b.sdiag, self.dtype)),
+            sym.HermSymbol(jnp.asarray(inv.diag, rdt),
+                           jnp.asarray(inv.sdiag, self.dtype)),
+            float(shift),
+        )
+
+    def block_width(self, alpha) -> int:
+        (_, rlx), _ = set_relaxation(alpha, scal=self.cfg.scal)
+        return block_width(self.cfg.nev, rlx)
+
+    def solve(self, alpha, x0: Optional[jnp.ndarray] = None,
+              seed: int = 0, validate_result: bool = True,
+              verbose: bool = False) -> EigenResult:
+        cfg = self.cfg
+        m = self.block_width(alpha)
+        if x0 is None:
+            x0 = maxwell.random_block(jax.random.PRNGKey(seed), cfg.n, m,
+                                      self.dtype)
+        elif x0.shape[0] != m:
+            x0 = _fit_block(x0, m, cfg.n, self.dtype, seed)
+
+        d_a, b, inv, shift = self.symbols_for(alpha)
+        run, a_apply = self._jitted(m)
+
+        t0 = time.time()
+        res = run(d_a, b, inv, jnp.asarray(shift, self.dtype), x0)
+        res.lambdas.block_until_ready()
+        wall = time.time() - t0
+
+        lambdas = np.asarray(res.lambdas)
+        status = int(res.status)
+        report = None
+        omega = omega_re = None
+        if status in (lob.Status.CONVERGED, lob.Status.FLOOR,
+                      lob.Status.MAXITER):
+            if validate_result:
+                report = validate.recompute(
+                    lambdas[: cfg.nev], res.x[: cfg.nev],
+                    lambda v: a_apply(d_a, v), shift=shift, scal=cfg.scal,
+                    verbose=verbose)
+                omega, omega_re = report.omega_pnt, report.omega_re
+            else:
+                from pcx.utils import sqrt_robust
+                lam = lambdas[: cfg.nev] - (shift if shift > 0 else 0.0)
+                omega = np.array([sqrt_robust(v) * cfg.scal / (2 * np.pi)
+                                  for v in lam])
+                omega_re = omega
+        return EigenResult(omega=omega, omega_re=omega_re, lambdas=lambdas,
+                           x=res.x, iterations=int(res.iterations),
+                           wall_time=wall, status=status, report=report)
+
+
+def _fit_block(x, m, n, dtype, seed):
+    """Warm-start width adaptation: truncate or pad with random columns
+    (reference: numerical_experiments.py:425-432)."""
+    if x.shape[0] >= m:
+        return x[:m]
+    extra = maxwell.random_block(jax.random.PRNGKey(seed + 1), n,
+                                 m - x.shape[0], dtype)
+    return jnp.concatenate((x, extra), axis=0)
+
+
+def eigen_1p(n: int, lattice: str, alpha, diel_type: str = "chiral",
+             nev: int = NEV, dtype=jnp.complex128, tol: float = TOL,
+             maxiter: int = MAXITER, seed: int = 0,
+             verbose: bool = True) -> EigenResult:
+    """Single-k-point demo (reference: numerical_experiments.py:209-247)."""
+    cfg = ProblemConfig(n=n, lattice=lattice, diel_type=diel_type, nev=nev)
+    solver = KPointSolver(cfg, dtype=dtype, tol=tol, maxiter=maxiter)
+    result = solver.solve(np.asarray(alpha, dtype=float), seed=seed,
+                          verbose=verbose)
+    if verbose:
+        print(f"n = {n}, lattice: {lattice}, "
+              f"alpha/pi = {np.asarray(alpha) / np.pi}, "
+              f"iter = {result.iterations}, "
+              f"runtime = {result.wall_time:<6.3f}s, status = {result.status}")
+    return result
+
+
+def bandgap(n: int, lattice: str, diel_type: str = "chiral",
+            eps_opt: int = 0, output_dir: str = "output",
+            indices: Optional[list] = None, gap: int = GAP,
+            dtype=jnp.complex128, tol: float = TOL, maxiter: int = MAXITER,
+            nev: int = NEV, seed: int = 0, verbose: bool = True,
+            max_retries: int = 0) -> list:
+    """Full Brillouin-zone band sweep with per-k-point JSON checkpointing,
+    resume, warm starts, and failure containment.
+
+    Reference: bandgap, numerical_experiments.py:313-496.  Returns the list
+    of failed indices.
+    """
+    cfg = ProblemConfig(n=n, lattice=lattice, diel_type=diel_type,
+                        eps_opt=eps_opt, nev=nev)
+    solver = KPointSolver(cfg, dtype=dtype, tol=tol / cfg.scal**2,
+                          maxiter=maxiter)
+    alphas = lattices.k_path(lattice, gap=gap)
+    n_k = alphas.shape[0]
+
+    suffix = str(eps_opt) if eps_opt else ""
+    path = f"{output_dir}/{diel_type}/bandgap_{lattice}{suffix}.json"
+    lib = BandLibrary(path, lattice, n, n_k, nev)
+
+    if indices is None:
+        pending = lib.pending_indices()
+        indices = pending if len(pending) < n_k else list(range(n_k))
+        if not indices:
+            if verbose:
+                print(f"{GREEN}All indices of {diel_type},{lattice} have "
+                      f"been computed without errors.{RESET}")
+            return []
+
+    err_index = []
+    x_prev = None
+    prev_idx = None
+    for i in indices:
+        alpha = alphas[i] / cfg.scal
+        # Warm start only along contiguous path segments
+        # (reference: numerical_experiments.py:425-432).
+        x0 = x_prev if (prev_idx is not None and abs(i - prev_idx) <= 1) else None
+        try:
+            result = solver.solve(alpha, x0=x0, seed=seed + i, verbose=False)
+            if result.status not in (lob.Status.CONVERGED,
+                                     lob.Status.FLOOR):
+                raise RuntimeError(
+                    f"solver status {lob.Status(result.status).name}")
+            lib.record(i, result.iterations, result.wall_time,
+                       result.omega_re)
+            x_prev, prev_idx = result.x, i
+            if verbose:
+                print(f"Gap {i + 1}/{n_k} ({lattice}), "
+                      f"alpha/pi = {np.round(alpha / np.pi, 3)}: "
+                      f"iters = {result.iterations}, "
+                      f"t = {result.wall_time:<6.2f}s")
+        except Exception as e:  # NaN, blowup, spurious, Cholesky failure
+            print(f"{RED}WARNING: Error at k-point {i}: {e}{RESET}")
+            err_index.append(i)
+            lib.record(i, -1, -1, None)
+            x_prev, prev_idx = None, None
+
+    if err_index:
+        print(f"{RED}Error occurs at indices: {err_index}{RESET}")
+    elif verbose:
+        print(f"{GREEN}All indices computed correctly.{RESET}")
+    return err_index
+
+
+def bandgap_history_check(n: int, lattice: str, diel_type: str = "chiral",
+                          eps_opt: int = 0, output_dir: str = "output"):
+    """Report failed/uncomputed k-points of a band library
+    (reference: numerical_experiments.py:277-311)."""
+    suffix = str(eps_opt) if eps_opt else ""
+    path = f"{output_dir}/{diel_type}/bandgap_{lattice}{suffix}.json"
+    import os
+    if not os.path.exists(path):
+        print(f"The bandgap of type {diel_type},{lattice} has no previous record.")
+        return None
+    alphas = lattices.k_path(lattice)
+    lib = BandLibrary(path, lattice, n, alphas.shape[0], NEV)
+    failed = lib.failed_indices()
+    pending = lib.pending_indices()
+    empty = sorted(set(pending) - set(failed))
+    if failed:
+        print(f"{RED}Warning: Blow up results detected: {failed}.{RESET}")
+    if empty:
+        print(f"{YELLOW}Following indices remain uncomputed: {empty}.{RESET}")
+    if not failed and not empty:
+        print(f"{GREEN}All indices of {diel_type},{lattice} have been "
+              f"computed without errors.{RESET}")
+    return failed, empty

@@ -1,0 +1,230 @@
+"""Dense local algebra: Gram matrices, Rayleigh-Ritz, small GEP solvers.
+
+Reference: paper_2/orthogonalization.py.  Differences for TPU:
+
+* blocks of vectors are (p, D) arrays (vector index first);
+* Gram products run through ``dot_general`` with HIGHEST precision so the
+  MXU does full-f32 (6-pass) accumulation instead of bf16;
+* the Rayleigh-Ritz supports a *basis mask* for fixed-shape soft locking:
+  masked-out basis vectors are replaced by decoupled phantom coordinates
+  with Ritz value -1 that sort strictly BELOW the physical spectrum of the
+  (positive definite) operator and are sliced away -- the jit-compatible
+  analog of the reference's dynamic column compaction
+  (paper_2/lobpcg.py:429-437).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def hermitize(m: jnp.ndarray) -> jnp.ndarray:
+    """(M + M^H)/2 (reference: orthogonalization.py:26-33)."""
+    return (m + m.conj().T) * 0.5
+
+
+def gram(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """G[i, j] = <x_i, y_j> for row-blocks x (p, D), y (q, D)."""
+    return jax.lax.dot_general(
+        x.conj(), y,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def mix(coeff: jnp.ndarray, blocks: jnp.ndarray) -> jnp.ndarray:
+    """Linear combinations: out_j = sum_i coeff[i, j] * blocks_i.
+
+    coeff (p, q), blocks (p, D) -> (q, D).
+    """
+    return jax.lax.dot_general(
+        coeff, blocks,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def short_qr(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormalize a row-block via Cholesky-QR
+    (reference: orthogonalization.py:36-46)."""
+    g = hermitize(gram(x, x))
+    l = jnp.linalg.cholesky(g)
+    return jax.scipy.linalg.solve_triangular(l, x, lower=True)
+
+
+def eigh_pencil(t: jnp.ndarray, g: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the Hermitian-definite pencil T v = theta G v by Cholesky
+    reduction to a standard Hermitian eigenproblem
+    (reference: GEP_chol, orthogonalization.py:99-115)."""
+    l = jnp.linalg.cholesky(g)
+    t1 = jax.scipy.linalg.solve_triangular(l, t, lower=True)
+    t2 = jax.scipy.linalg.solve_triangular(l, t1.conj().T, lower=True).conj().T
+    theta, q = jnp.linalg.eigh(hermitize(t2))
+    # Back-transform: v = L^{-H} q.
+    v = jax.scipy.linalg.solve_triangular(l.conj().T, q, lower=False)
+    return theta, v
+
+
+def rayleigh_ritz(s: jnp.ndarray, hs: jnp.ndarray):
+    """Plain RR on a row-block: Ritz values/vecs of H in span(s)
+    (reference: rayleigh_ritz_chol_sep, orthogonalization.py:140-154)."""
+    g = hermitize(gram(s, s))
+    gh = hermitize(gram(s, hs))
+    return eigh_pencil(gh, g)
+
+
+@partial(jax.jit, static_argnames=("m",))
+def masked_rayleigh_ritz(s: jnp.ndarray, hs: jnp.ndarray,
+                         basis_mask: jnp.ndarray, m: int,
+                         jitter: float = 0.0):
+    """RR over the masked basis, returning the m smallest *physical*
+    Ritz pairs.
+
+    s, hs: (p, D) row-blocks; basis_mask: (p,) {0,1} floats; masked-out
+    basis rows of s MUST already be zeroed by the caller.
+
+    Dead coordinates are decoupled: G gets 1 on their diagonal, GH gets -1,
+    so their Ritz values are exactly -1 < 0 <= spec(H) and sort first; the
+    physical window starts at index n_dead = p - sum(mask).
+    """
+    p = s.shape[0]
+    keep = basis_mask[:, None] * basis_mask[None, :]
+    dead = 1.0 - basis_mask
+
+    g = hermitize(gram(s, s)) * keep + jnp.diag(dead).astype(s.dtype)
+    gh = hermitize(gram(s, hs)) * keep - jnp.diag(dead).astype(s.dtype)
+    if jitter:
+        g = g + (jitter * jnp.max(jnp.abs(jnp.diag(g)))) * jnp.eye(p, dtype=s.dtype)
+
+    theta_all, c_all = eigh_pencil(gh, g)
+    n_dead = (p - jnp.sum(basis_mask)).astype(jnp.int32)
+    theta = lax.dynamic_slice(theta_all, (n_dead,), (m,))
+    c = lax.dynamic_slice(c_all, (jnp.int32(0), n_dead), (p, m))
+    # Zero any residual weight on dead coordinates (phantom directions).
+    c = c * basis_mask[:, None]
+    return theta.real, c
+
+
+def gram_f64(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 65536):
+    """Gram matrix of complex64 row-blocks with float64 accumulation.
+
+    complex128 is unsupported on TPU, so the long contraction axis is split
+    into chunks: each chunk's Gram runs on the MXU in f32 (HIGHEST), the
+    (nc, p, q) partials are upcast to f64 and reduced.  Returns the result
+    as a (real, imag) f64 pair.  Error ~ sqrt(chunk)*eps_f32 instead of
+    sqrt(D)*eps_f32 — the key to accurate Rayleigh-Ritz in single precision.
+    """
+    p, d = x.shape
+    q = y.shape[0]
+    nc = -(-d // chunk)
+    pad = nc * chunk - d
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        y = jnp.pad(y, ((0, 0), (0, pad)))
+    xc = x.reshape(p, nc, chunk).transpose(1, 0, 2)
+    yc = y.reshape(q, nc, chunk).transpose(1, 0, 2)
+    partial = jax.lax.dot_general(
+        xc.conj(), yc,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+    )  # (nc, p, q) complex64
+    re = jnp.sum(partial.real.astype(jnp.float64), axis=0)
+    im = jnp.sum(partial.imag.astype(jnp.float64), axis=0)
+    return re, im
+
+
+def eigh_host_c128(t_re: jnp.ndarray, t_im: jnp.ndarray):
+    """Hermitian eigendecomposition at complex128 via host callback.
+
+    TPU has no complex128; the (small, <=3m x 3m) Rayleigh-Ritz matrix is
+    shipped to the host as an f64 (re, im) pair and diagonalized with LAPACK.
+    The MATLAB reference gathers the same matrix to CPU every iteration
+    (paper_1_matlab/PCs_linear_lobpcg_single_gpu.m:140); at this size the
+    transfer is microseconds.
+    """
+    import numpy as np
+
+    p = t_re.shape[0]
+
+    def cb(tr, ti):
+        t = tr + 1j * ti
+        w, v = np.linalg.eigh((t + t.conj().T) / 2)
+        return (w.astype(np.float64), np.ascontiguousarray(v.real),
+                np.ascontiguousarray(v.imag))
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((p,), jnp.float64),
+        jax.ShapeDtypeStruct((p, p), jnp.float64),
+        jax.ShapeDtypeStruct((p, p), jnp.float64),
+    )
+    return jax.pure_callback(cb, out_shapes, t_re, t_im,
+                             vmap_method="sequential")
+
+
+def masked_cholqr(block: jnp.ndarray, mask: jnp.ndarray, jitter: float,
+                  hblock: Optional[jnp.ndarray] = None, passes: int = 1):
+    """Orthonormalize the active rows of a (p, D) block via Cholesky-QR.
+
+    Masked-out rows must already be zero; they stay zero (their Gram diagonal
+    is padded with 1).  ``hblock`` (= H @ block) is transformed by the same
+    row mixing so it stays consistent without extra operator applies.
+    ``jitter`` (relative to the max Gram diagonal) regularizes the Cholesky
+    in low precision; ``passes=2`` gives CholQR2 orthonormality.
+    """
+    keep = mask[:, None] * mask[None, :]
+    dead = jnp.diag(1.0 - mask).astype(block.dtype)
+    for _ in range(passes):
+        g = hermitize(gram(block, block)) * keep + dead
+        g = g + (jitter * jnp.max(jnp.abs(jnp.diag(g)))) * jnp.eye(
+            block.shape[0], dtype=block.dtype)
+        l = jnp.linalg.cholesky(g)
+        # Row convention: Q = conj(L)^{-1} B  =>  conj(Q) Q^T = I on active rows.
+        block = jax.scipy.linalg.solve_triangular(l.conj(), block, lower=True)
+        if hblock is not None:
+            hblock = jax.scipy.linalg.solve_triangular(l.conj(), hblock,
+                                                       lower=True)
+        block = block * mask[:, None].astype(block.dtype)
+        if hblock is not None:
+            hblock = hblock * mask[:, None].astype(block.dtype)
+    return block, hblock
+
+
+def project_off(block: jnp.ndarray, basis: jnp.ndarray,
+                hblock: Optional[jnp.ndarray] = None,
+                hbasis: Optional[jnp.ndarray] = None):
+    """Project the rows of ``block`` off the orthonormal rows of ``basis``
+    (and apply the same combination to hblock using hbasis)."""
+    coeff = gram(basis, block)            # (p_basis, p_block)
+    block = block - mix(coeff, basis)
+    if hblock is not None:
+        hblock = hblock - mix(coeff, hbasis)
+    return block, hblock
+
+
+def power_method(a_func, x0: jnp.ndarray, maxiter: int = 1000,
+                 tol: float = 1e-5):
+    """Largest eigenvalue by the power method
+    (reference: orthogonalization.py:57-85)."""
+
+    def body(carry):
+        i, x, lam, res = carry
+        ax = a_func(x)
+        lam = jnp.linalg.norm(ax.reshape(-1))
+        xn = ax / lam
+        res = jnp.max(jnp.abs(ax - lam * x)) / jnp.abs(lam)
+        return i + 1, xn, lam, res
+
+    def cond(carry):
+        i, _, _, res = carry
+        return (i < maxiter) & (res > tol)
+
+    x0 = x0 / jnp.linalg.norm(x0.reshape(-1))
+    i, x, lam, res = lax.while_loop(
+        cond, body, (0, x0, jnp.asarray(0.0, x0.real.dtype),
+                     jnp.asarray(jnp.inf, x0.real.dtype)))
+    return lam, x, i

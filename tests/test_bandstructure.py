@@ -1,0 +1,61 @@
+"""Band sweep driver tests: checkpoint/resume semantics, failure records,
+schema compatibility (reference: bandgap, numerical_experiments.py:313-496)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pcx import bandstructure as bs
+from pcx.io import BandLibrary, EMPTY, FAILED
+
+
+def test_band_library_resume(tmp_path):
+    path = str(tmp_path / "bandgap_test.json")
+    lib = BandLibrary(path, "sc_curv", 8, n_k=5, nev=3)
+    assert lib.pending_indices() == [0, 1, 2, 3, 4]
+    lib.record(1, 10, 1.5, np.array([0.1, 0.2, 0.3]))
+    lib.record(3, -1, -1, None)
+    # Reload from disk: computed point excluded, failed point included.
+    lib2 = BandLibrary(path, "sc_curv", 8, n_k=5, nev=3)
+    assert lib2.pending_indices() == [0, 2, 3, 4]
+    assert lib2.failed_indices() == [3]
+    assert lib2.frequencies[1] == [0.1, 0.2, 0.3]
+    assert lib2.iterations[3] == FAILED
+
+
+def test_band_library_schema_matches_reference(tmp_path):
+    """Written JSON must use the reference key schema
+    (numerical_experiments.py:355-357)."""
+    path = str(tmp_path / "bandgap_sc_curv.json")
+    lib = BandLibrary(path, "sc_curv", 100, n_k=4, nev=10)
+    lib.record(0, 31, 10.79, np.arange(10) * 0.1)
+    with open(path) as f:
+        raw = json.load(f)
+    assert set(raw) == {"sc_curv_100_iterations", "sc_curv_100_frequencies"}
+    assert len(raw["sc_curv_100_iterations"]) == 4
+    assert len(raw["sc_curv_100_frequencies"][0]) == 10
+
+
+@pytest.mark.slow
+def test_bandgap_sweep_and_resume(tmp_path):
+    out = str(tmp_path / "output")
+    kw = dict(n=8, lattice="sc_flat1", diel_type="chiral", output_dir=out,
+              nev=4, gap=4, verbose=False)
+    # Partial sweep: first 3 of 16 k-points.
+    err = bs.bandgap(indices=[0, 1, 2], **kw)
+    assert err == []
+    path = f"{out}/chiral/bandgap_sc_flat1.json"
+    lib = BandLibrary(path, "sc_flat1", 8, 16, 4)
+    assert lib.pending_indices() == list(range(3, 16))
+    freqs_before = [list(r) for r in lib.frequencies[:3]]
+    # Resume computes only the remaining points and keeps previous results.
+    err = bs.bandgap(**kw)
+    assert err == []
+    lib2 = BandLibrary(path, "sc_flat1", 8, 16, 4)
+    assert lib2.pending_indices() == []
+    assert [list(r) for r in lib2.frequencies[:3]] == freqs_before
+    # All frequencies positive and finite.
+    f = np.array(lib2.frequencies)
+    assert np.isfinite(f).all() and (f >= 0).all()

@@ -1,0 +1,141 @@
+"""LOBPCG unit tests on explicit matrices (decoupled from the PDE,
+mirroring the reference's lobpcg_default usage, paper_2/lobpcg.py:28-61)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcx.solvers import lobpcg as lob
+from pcx.solvers.lobpcg import Status
+
+
+def _random_hpd(n, rng, cond=50.0):
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+    d = np.geomspace(1.0, cond, n)
+    return (q * d) @ q.conj().T
+
+
+def test_smallest_eigs_dense(rng):
+    n, nev = 120, 6
+    a = _random_hpd(n, rng)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    res = lob.lobpcg_default(jnp.asarray(a), nev=nev, rlx=4, maxiter=300,
+                             tol=1e-8)
+    assert int(res.status) == Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want, rtol=1e-6)
+
+
+def test_largest_eigs_dense(rng):
+    n, nev = 80, 3
+    a = _random_hpd(n, rng)
+    want = np.sort(np.linalg.eigvalsh(a))[-nev:][::-1]
+    res = lob.lobpcg_default(jnp.asarray(a), nev=nev, rlx=4, maxmin="max",
+                             maxiter=300, tol=1e-7)
+    got = np.sort(np.asarray(res.lambdas))[::-1][:nev]
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_locking_matches_nolock(rng):
+    n, nev = 100, 5
+    a = _random_hpd(n, rng)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    x0 = jnp.asarray(rng.normal(size=(nev + 4, n))
+                     + 1j * rng.normal(size=(nev + 4, n)))
+    h = lambda b: b @ jnp.asarray(a).T
+    ident = lambda b: b
+    r1 = lob.lobpcg_sep_softlock(h, ident, x0, nev, tol=1e-8, maxiter=300)
+    r2 = lob.lobpcg_sep_nolock(h, ident, x0, nev, tol=1e-8, maxiter=300)
+    np.testing.assert_allclose(np.asarray(r1.lambdas[:nev]), want, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2.lambdas[:nev]), want, rtol=1e-6)
+
+
+def test_preconditioner_accelerates(rng):
+    """Jacobi preconditioning must reduce iteration count on an
+    ill-conditioned diagonal-dominant matrix."""
+    n, nev = 200, 4
+    d = np.geomspace(1, 1e4, n)
+    a = np.diag(d) + 0.01 * _random_hpd(n, rng, cond=10)
+    aj = jnp.asarray(a)
+    h = lambda b: b @ aj.T
+    dinv = jnp.asarray(1.0 / np.diag(a).real)
+    prec = lambda b: b * dinv
+    x0 = jnp.asarray(rng.normal(size=(nev + 4, n))
+                     + 1j * rng.normal(size=(nev + 4, n)))
+    r_plain = lob.lobpcg_sep_softlock(h, lambda b: b, x0, nev, tol=1e-6,
+                                      maxiter=400)
+    r_prec = lob.lobpcg_sep_softlock(h, prec, x0, nev, tol=1e-6, maxiter=400)
+    assert int(r_prec.iterations) < int(r_plain.iterations)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    np.testing.assert_allclose(np.asarray(r_prec.lambdas[:nev]), want,
+                               rtol=1e-5)
+
+
+def test_gep_dense(rng):
+    n, nev = 90, 4
+    a = _random_hpd(n, rng)
+    b = _random_hpd(n, rng, cond=50)
+    import scipy.linalg as sla
+    want = np.sort(sla.eigh(a, b, eigvals_only=True))[:nev]
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    x0 = jnp.asarray(rng.normal(size=(nev + 4, n))
+                     + 1j * rng.normal(size=(nev + 4, n)))
+    res = lob.lobpcg_gep(lambda v: v @ aj.T, lambda v: v @ bj.T,
+                         lambda v: v, x0, nev, tol=1e-7, maxiter=500)
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want, rtol=1e-5)
+
+
+def test_shift_invariance(rng):
+    n, nev = 60, 3
+    a = _random_hpd(n, rng)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    aj = jnp.asarray(a)
+    x0 = jnp.asarray(rng.normal(size=(nev + 4, n))
+                     + 1j * rng.normal(size=(nev + 4, n)))
+    res = lob.lobpcg_sep_softlock(lambda v: v @ aj.T, lambda v: v, x0, nev,
+                                  shift=2.5, tol=1e-8, maxiter=300)
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want, rtol=1e-6)
+
+
+def test_jit_compilable(rng):
+    """The whole solve must trace into a single jitted computation."""
+    n, nev = 64, 3
+    a = jnp.asarray(_random_hpd(n, rng))
+    x0 = jnp.asarray(rng.normal(size=(nev + 3, n))
+                     + 1j * rng.normal(size=(nev + 3, n)))
+
+    @jax.jit
+    def solve(x0):
+        return lob.lobpcg_sep_softlock(lambda v: v @ a.T, lambda v: v,
+                                       x0, nev, tol=1e-7, maxiter=200)
+
+    res = solve(x0)
+    want = np.sort(np.linalg.eigvalsh(np.asarray(a)))[:nev]
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want, rtol=1e-5)
+
+
+def test_single_precision_converges(rng):
+    """complex64 path (the TPU production dtype) must converge to ~1e-4."""
+    n, nev = 150, 5
+    a = _random_hpd(n, rng, cond=100.0).astype(np.complex64)
+    want = np.sort(np.linalg.eigvalsh(a.astype(np.complex128)))[:nev]
+    aj = jnp.asarray(a)
+    x0 = jnp.asarray((rng.normal(size=(nev + 4, n))
+                      + 1j * rng.normal(size=(nev + 4, n))).astype(np.complex64))
+    res = lob.lobpcg_sep_softlock(lambda v: v @ aj.T, lambda v: v, x0, nev,
+                                  tol=1e-4, maxiter=500)
+    assert res.x.dtype == jnp.complex64
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_residual_history_monotone_tail(rng):
+    n, nev = 100, 4
+    a = _random_hpd(n, rng)
+    res = lob.lobpcg_default(jnp.asarray(a), nev=nev, rlx=4, tol=1e-8,
+                             maxiter=300)
+    his = np.asarray(res.res_history)
+    his = his[~np.isnan(his)]
+    assert len(his) >= 3
+    assert his[-1] < his[0]
