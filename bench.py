@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""pcx headline benchmark: one LOBPCG band solve at a single k-point.
+
+Matches the reference's headline measurement (README runtime table,
+BASELINE.md): SC-CURV isotropic lattice, N=120 (3*120^3 = 5.18M complex
+DoFs), NEV=10 bands, tol 1e-4, single chip.  RTX-4090 baseline: 19.85 s
+(BASELINE.md: SC-CURV isotropic, N=120).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+vs_baseline > 1 means faster than the reference GPU.
+
+Usage: python bench.py [--n 120] [--lattice sc_curv] [--baseline 19.85]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=120)
+    ap.add_argument("--lattice", default="sc_curv")
+    ap.add_argument("--diel", default="chiral")
+    ap.add_argument("--nev", type=int, default=10)
+    ap.add_argument("--baseline", type=float, default=19.85,
+                    help="reference GPU seconds for this config")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    # x64 is required even on TPU: the Rayleigh-Ritz accumulates its Gram in
+    # f64 (real pairs) and the host eigh callback declares f64 outputs.
+    # (complex128 stays unsupported on TPU; the iterate is complex64 there.)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+    from pcx.solvers.lobpcg import Status
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.complex128 if args.cpu else jnp.complex64
+
+    # Mid-path k-point away from Gamma (matches the per-k-point timing
+    # protocol of the reference runtime table).
+    alpha = np.array([np.pi, 0.0, 0.0])
+
+    cfg = ProblemConfig(n=args.n, lattice=args.lattice, diel_type=args.diel,
+                        nev=args.nev)
+    solver = KPointSolver(cfg, dtype=dtype)
+
+    # Warm-up: compile + one full solve (not timed).
+    r = solver.solve(alpha, seed=0, validate_result=False)
+    print(f"# warmup: status={Status(r.status).name} iters={r.iterations} "
+          f"t={r.wall_time:.2f}s platform={platform}", file=sys.stderr)
+
+    times, iters = [], []
+    result = None
+    for rep in range(args.repeats):
+        result = solver.solve(alpha, seed=rep + 1, validate_result=False)
+        if result.status not in (Status.CONVERGED, Status.FLOOR):
+            print(f"# ERROR: solver status {Status(result.status).name}",
+                  file=sys.stderr)
+            sys.exit(1)
+        times.append(result.wall_time)
+        iters.append(result.iterations)
+        print(f"# rep {rep}: {result.wall_time:.3f}s, "
+              f"{result.iterations} iters, status "
+              f"{Status(result.status).name}", file=sys.stderr)
+
+    # Validate the last solve (spurious-eigenvalue gate).
+    rep_val = solver.solve(alpha, x0=result.x, seed=99, validate_result=True)
+    dev = float(np.abs(rep_val.omega - rep_val.omega_re).max())
+    print(f"# validation: max |omega - omega_re| = {dev:.2e} "
+          f"(gate 1e-3): omega={np.round(rep_val.omega_re, 5)}",
+          file=sys.stderr)
+    if dev > 1e-3:
+        print("# ERROR: spurious eigenvalues", file=sys.stderr)
+        sys.exit(1)
+
+    value = float(min(times))
+    print(json.dumps({
+        "metric": f"{args.lattice}_n{args.n}_kpoint_solve_seconds",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(args.baseline / value, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

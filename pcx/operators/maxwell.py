@@ -52,7 +52,8 @@ def ama_bb(x: jnp.ndarray, d_a: jnp.ndarray, b: sym.HermSymbol,
     Reference: AMA_BB, paper_2/pcfft.py:160-181.
     """
     y = ama(x, d_a, diel) + h_block(x, b)
-    if shift:
+    static_zero = isinstance(shift, (int, float)) and shift == 0.0
+    if not static_zero:
         y = y + shift * x
     return y
 
@@ -145,5 +146,7 @@ def random_block(key, n: int, m: int, dtype=jnp.complex128) -> jnp.ndarray:
     real_dtype = jnp.zeros((), dtype=dtype).real.dtype
     k1, k2 = jax.random.split(key)
     shape = (m, 3, n, n, n)
-    return (jax.random.uniform(k1, shape, dtype=real_dtype)
-            + 1j * jax.random.uniform(k2, shape, dtype=real_dtype)).astype(dtype)
+    # lax.complex keeps the width (f32 -> c64): TPU has no complex128.
+    return jax.lax.complex(
+        jax.random.uniform(k1, shape, dtype=real_dtype),
+        jax.random.uniform(k2, shape, dtype=real_dtype)).astype(dtype)

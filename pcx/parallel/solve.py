@@ -1,0 +1,90 @@
+"""Grid-sharded Maxwell LOBPCG under shard_map: the TP/SP axis of pcx.
+
+Scales a single k-point solve past one chip's HBM (SURVEY.md section 5.7):
+the (m, 3, Nx, Ny, Nz) Fourier-space block is sharded on its LAST grid axis
+over mesh axis "grid"; each operator application is
+
+    a_block(-conj D_A)          local   (z-sharded symbols)
+    pencil fftn                 1 all_to_all (-> x-sharded)
+    pointwise eps^{-1}          local   (x-sharded dielectric arrays)
+    pencil ifftn                1 all_to_all (-> z-sharded)
+    a_block(D_A) + penalty      local
+
+and every Gram / norm inside LOBPCG psums over "grid"
+(solvers are reduce_axis-aware).  The k-point sweep is the embarrassingly
+parallel "k" axis: independent solves vmapped/placed per device.
+
+Pointwise dielectrics (chiral scale, pseudochiral trivial) shard exactly;
+the cross-DoF averaging stencils couple along sharded axes and need halo
+exchange — single-chip only for now.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from pcx.config import MAXITER, TOL
+from pcx.operators.blocks import a_block, h_block
+from pcx.parallel.fft import pencil_fftn, pencil_ifftn
+from pcx.parallel.mesh import GRID_AXIS, K_AXIS
+from pcx.solvers import lobpcg as lob
+
+
+def sharded_ama_bb(x, d_a, b, scale, shift, axis_name=GRID_AXIS):
+    """Penalized operator on a z-sharded local block; ``scale`` is the
+    pointwise eps^{-1} multiplier in the x-sharded (pencil) layout."""
+    y = a_block(x, -d_a.conj())
+    y = pencil_fftn(y, axis_name)
+    y = y * scale
+    y = pencil_ifftn(y, axis_name)
+    y = a_block(y, d_a)
+    y = y + h_block(x, b)
+    return y + shift * x
+
+
+def solve_kpoint_sharded(
+    mesh: Mesh,
+    d_a: jnp.ndarray,                   # (3, N, N, N) complex, full
+    b: Tuple[jnp.ndarray, jnp.ndarray],
+    inv: Tuple[jnp.ndarray, jnp.ndarray],
+    scale: jnp.ndarray,                 # pointwise eps^{-1} (3, N, N, N)
+    shift: float,
+    x0: jnp.ndarray,                    # (m, 3, N, N, N)
+    nev: int,
+    tol: float = TOL,
+    maxiter: int = MAXITER,
+    **solver_kw,
+):
+    """One grid-sharded LOBPCG solve.  Arrays may be passed unsharded; the
+    in_specs place them (z-sharded symbols/fields, x-sharded dielectric)."""
+    zspec3 = P(None, None, None, GRID_AXIS)     # (3, Nx, Ny, Nz) on z
+    xspec3 = P(None, GRID_AXIS, None, None)     # (3, Nx, Ny, Nz) on x
+    fspec = P(None, None, None, None, GRID_AXIS)
+    cdtype = x0.dtype
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(zspec3, zspec3, zspec3, zspec3, zspec3, xspec3, fspec),
+        out_specs=(P(), fspec, P(), P(), P()),
+        check_rep=False,
+    )
+    def _run(d_a, b_d, b_s, i_d, i_s, scale, x0):
+        h = lambda v: sharded_ama_bb(v, d_a, (b_d, b_s), scale,
+                                     jnp.asarray(shift, cdtype))
+        p = lambda v: h_block(v, (i_d, i_s))
+        solver_kw.setdefault("rr_mode", "f64")
+        res = lob.lobpcg_sep(h, p, x0, nev, tol=tol, maxiter=maxiter,
+                             reduce_axis=GRID_AXIS, **solver_kw)
+        return (res.lambdas, res.x, res.iterations, res.status,
+                res.res_history)
+
+    lam, x, it, st, his = _run(d_a, b[0], b[1], inv[0], inv[1], scale, x0)
+    return lob.SolveResult(lam, x, it, st, his)

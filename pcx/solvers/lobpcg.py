@@ -66,8 +66,8 @@ class _State(NamedTuple):
     best_it: jnp.ndarray
 
 
-def _col_normalize(block: jnp.ndarray, eps: float):
-    n = norms(block)
+def _col_normalize(block: jnp.ndarray, eps: float, axis_name=None):
+    n = norms(block, axis_name=axis_name)
     scale = 1.0 / jnp.maximum(n, eps)
     shape = (-1,) + (1,) * (block.ndim - 1)
     return block * scale.reshape(shape).astype(block.dtype), n
@@ -89,6 +89,7 @@ def lobpcg_sep(
     rr_mode: str = "auto",
     refresh_every: int = 10,
     floor_patience: int = 15,
+    reduce_axis=None,
 ) -> SolveResult:
     """LOBPCG for the standard Hermitian eigenproblem H x = lambda x.
 
@@ -120,17 +121,33 @@ def lobpcg_sep(
     # initial Ritz values without rotating, lobpcg.py:378-381; rotating is
     # strictly better and changes nothing after iteration 1).
     # ------------------------------------------------------------------
+    use_f64_rr = (rr_mode == "f64") or (
+        rr_mode == "auto" and cdtype == jnp.complex64)
+    ones_m = jnp.ones((m,), rdtype)
+
     x = x0
     if normalize:
-        x, _ = _col_normalize(x, tiny)
-    hx = h_func(x)
-    theta0, c0 = rr_mod.rayleigh_ritz(flat(x), flat(hx))
-    x = rr_mod.mix(c0, flat(x)).reshape(x.shape)
-    hx = rr_mod.mix(c0, flat(hx)).reshape(x.shape)
-    lambdas0 = theta0.real.astype(rdtype)
-
-    use_host64 = (rr_mode == "host64") or (
-        rr_mode == "auto" and cdtype == jnp.complex64)
+        x, _ = _col_normalize(x, tiny, axis_name=reduce_axis)
+    if use_f64_rr:
+        # TPU path: no complex cholesky/eigh anywhere — Loewdin orthonormalize
+        # then diagonalize the projected operator via the f64 real embedding.
+        xf, _ = rr_mod.masked_loewdin(flat(x), ones_m, jitter,
+                                      axis_name=reduce_axis)
+        hxf = flat(h_func(xf.reshape(x.shape)))
+        t_re, t_im = rr_mod.gram_f64(xf, hxf, axis_name=reduce_axis)
+        theta0, v_re, v_im = rr_mod.eigh_f64_embedding(
+            0.5 * (t_re + t_re.T), 0.5 * (t_im - t_im.T))
+        c0 = jax.lax.complex(v_re.astype(rdtype),
+                             v_im.astype(rdtype)).astype(cdtype)
+        x = rr_mod.mix(c0, xf).reshape(x.shape)
+        hx = rr_mod.mix(c0, hxf).reshape(x.shape)
+        lambdas0 = theta0.astype(rdtype)
+    else:
+        hx = h_func(x)
+        theta0, c0 = rr_mod.rayleigh_ritz(flat(x), flat(hx))
+        x = rr_mod.mix(c0, flat(x)).reshape(x.shape)
+        hx = rr_mod.mix(c0, flat(hx)).reshape(x.shape)
+        lambdas0 = theta0.real.astype(rdtype)
 
     zeros_block = jnp.zeros_like(x)
     state0 = _State(
@@ -142,8 +159,6 @@ def lobpcg_sep(
         best_res=jnp.asarray(jnp.inf, rdtype),
         best_it=jnp.asarray(0, jnp.int32),
     )
-
-    ones_m = jnp.ones((m,), rdtype)
 
     def cond_fun(s: _State):
         return (s.status == Status.RUNNING) & (s.it < maxiter)
@@ -162,7 +177,7 @@ def lobpcg_sep(
         # Residual R = lambda*X - HX (reference stores it in the W slot,
         # lobpcg.py:394-395).
         r = s.lambdas.reshape(bshape).astype(cdtype) * s.x - hx_cur
-        res = norms(r)
+        res = norms(r, axis_name=reduce_axis)
         res_max = jnp.max(res[:nev])
         res_nev = jnp.linalg.norm(res[:nev])
         res_his = s.res_his.at[it].set(res_nev)
@@ -217,31 +232,46 @@ def lobpcg_sep(
             # the RR (orthogonalization.py:140-154); the orthonormal-basis
             # form is what makes complex64 stable on TPU.
             w = p_func(r * amask) * amask
-            wf, _ = _col_normalize(flat(w), tiny)
-            wf, _ = rr_mod.project_off(wf, xf)
+            wf, _ = _col_normalize(flat(w), tiny, axis_name=reduce_axis)
+            wf, _ = rr_mod.project_off(wf, xf, axis_name=reduce_axis)
             # Drop columns that collapsed into span(X): below the projection
             # rounding-noise floor ~ sqrt(D)*eps they carry no information and
             # would inject spurious near-zero Ritz values.
-            rho_w = norms(wf)
+            rho_w = norms(wf, axis_name=reduce_axis)
             w_ok = active * (rho_w > noise_floor)
             wf = wf * w_ok[:, None].astype(cdtype)
-            wf, _ = rr_mod.masked_cholqr(wf, w_ok, jitter, passes=ortho_passes)
+            if use_f64_rr:
+                wf, _ = rr_mod.masked_loewdin(wf, w_ok, jitter,
+                                              passes=ortho_passes,
+                                              axis_name=reduce_axis)
+            else:
+                wf, _ = rr_mod.masked_cholqr(wf, w_ok, jitter,
+                                             passes=ortho_passes,
+                                             axis_name=reduce_axis)
             hw = h_func(wf.reshape(s.x.shape))
             hwf = flat(hw)
 
             p_act = active * (it > 0)
             pcol = p_act[:, None].astype(cdtype)
             pf, hpf = flat(s.p) * pcol, flat(s.hp) * pcol
-            pf, pn = _col_normalize(pf, tiny)
+            pf, pn = _col_normalize(pf, tiny, axis_name=reduce_axis)
             hpf = hpf * (1.0 / jnp.maximum(pn, tiny))[:, None].astype(cdtype)
-            pf, hpf = rr_mod.project_off(pf, xf, hpf, hxf)
-            pf, hpf = rr_mod.project_off(pf, wf, hpf, hwf)
-            rho_p = norms(pf)
+            pf, hpf = rr_mod.project_off(pf, xf, hpf, hxf,
+                                         axis_name=reduce_axis)
+            pf, hpf = rr_mod.project_off(pf, wf, hpf, hwf,
+                                         axis_name=reduce_axis)
+            rho_p = norms(pf, axis_name=reduce_axis)
             p_ok = p_act * (rho_p > noise_floor)
             pokc = p_ok[:, None].astype(cdtype)
             pf, hpf = pf * pokc, hpf * pokc
-            pf, hpf = rr_mod.masked_cholqr(pf, p_ok, jitter, hpf,
-                                           passes=ortho_passes)
+            if use_f64_rr:
+                pf, hpf = rr_mod.masked_loewdin(pf, p_ok, jitter, hpf,
+                                                passes=ortho_passes,
+                                                axis_name=reduce_axis)
+            else:
+                pf, hpf = rr_mod.masked_cholqr(pf, p_ok, jitter, hpf,
+                                               passes=ortho_passes,
+                                               axis_name=reduce_axis)
 
             sf = jnp.concatenate((xf, wf, pf), axis=0)
             hsf = jnp.concatenate((hxf, hwf, hpf), axis=0)
@@ -251,20 +281,22 @@ def lobpcg_sep(
             # with dead coordinates decoupled at Ritz value -1 (sorts below
             # the positive spectrum of the shifted HPD operator).
             keep = basis_mask[:, None] * basis_mask[None, :]
-            if use_host64:
-                # f64-accumulated Gram + complex128 eigh on the host: the RR
-                # eigenvalue error drops from eps_f32*||T|| (too coarse for
-                # the 1e-4 tolerance) to f64 level.
-                t_re, t_im = rr_mod.gram_f64(sf, hsf)
-                t_re = (0.5 * (t_re + t_re.T) * keep
+            if use_f64_rr:
+                # f64-accumulated Gram + f64 real-embedding eigh on device:
+                # the RR eigenvalue error drops from eps_f32*||T|| (too
+                # coarse for the 1e-4 tolerance) to f64 level.
+                t_re, t_im = rr_mod.gram_f64(sf, hsf, axis_name=reduce_axis)
+                keep64 = keep.astype(jnp.float64)
+                t_re = (0.5 * (t_re + t_re.T) * keep64
                         - jnp.diag(1.0 - basis_mask).astype(jnp.float64))
-                t_im = 0.5 * (t_im - t_im.T) * keep
-                theta_all, v_re, v_im = rr_mod.eigh_host_c128(t_re, t_im)
+                t_im = 0.5 * (t_im - t_im.T) * keep64
+                theta_all, v_re, v_im = rr_mod.eigh_f64_embedding(t_re, t_im)
                 theta_all = theta_all.astype(rdtype)
-                c_all = (v_re.astype(rdtype)
-                         + 1j * v_im.astype(rdtype)).astype(cdtype)
+                c_all = jax.lax.complex(
+                    v_re.astype(rdtype), v_im.astype(rdtype)).astype(cdtype)
             else:
-                t_mat = (rr_mod.hermitize(rr_mod.gram(sf, hsf)) * keep
+                t_mat = (rr_mod.hermitize(
+                    rr_mod.gram(sf, hsf, axis_name=reduce_axis)) * keep
                          - jnp.diag(1.0 - basis_mask).astype(cdtype))
                 theta_all, c_all = jnp.linalg.eigh(t_mat)
             n_dead = (3 * m - jnp.sum(basis_mask)).astype(jnp.int32)
@@ -513,9 +545,10 @@ def lobpcg_default(a, nev: int = 20, rlx: int = 4, prec=None,
     k1, k2 = jax.random.split(key)
     dt = a.dtype if not isinstance(a, tuple) else jnp.complex128
     rdt = jnp.zeros((), dtype=dt).real.dtype
-    x0 = (jax.random.uniform(k1, (nev + rlx, n), dtype=rdt)
-          + 1j * jax.random.uniform(k2, (nev + rlx, n), dtype=rdt)).astype(
-              jnp.promote_types(dt, jnp.complex64))
+    x0 = jax.lax.complex(
+        jax.random.uniform(k1, (nev + rlx, n), dtype=rdt),
+        jax.random.uniform(k2, (nev + rlx, n), dtype=rdt)).astype(
+            jnp.promote_types(dt, jnp.complex64))
     if maxmin == "min":
         return lobpcg_sep_softlock(h_func, p_func, x0, nev, tol=tol,
                                    maxiter=maxiter)

@@ -28,13 +28,17 @@ def hermitize(m: jnp.ndarray) -> jnp.ndarray:
     return (m + m.conj().T) * 0.5
 
 
-def gram(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """G[i, j] = <x_i, y_j> for row-blocks x (p, D), y (q, D)."""
-    return jax.lax.dot_general(
+def gram(x: jnp.ndarray, y: jnp.ndarray, axis_name=None) -> jnp.ndarray:
+    """G[i, j] = <x_i, y_j> for row-blocks x (p, D), y (q, D).
+    ``axis_name``: mesh axis to psum over when D is sharded."""
+    g = jax.lax.dot_general(
         x.conj(), y,
         dimension_numbers=(((1,), (1,)), ((), ())),
         precision=lax.Precision.HIGHEST,
     )
+    if axis_name is not None:
+        g = lax.psum(g, axis_name)
+    return g
 
 
 def mix(coeff: jnp.ndarray, blocks: jnp.ndarray) -> jnp.ndarray:
@@ -110,7 +114,8 @@ def masked_rayleigh_ritz(s: jnp.ndarray, hs: jnp.ndarray,
     return theta.real, c
 
 
-def gram_f64(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 65536):
+def gram_f64(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 65536,
+             axis_name=None):
     """Gram matrix of complex64 row-blocks with float64 accumulation.
 
     complex128 is unsupported on TPU, so the long contraction axis is split
@@ -135,39 +140,85 @@ def gram_f64(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 65536):
     )  # (nc, p, q) complex64
     re = jnp.sum(partial.real.astype(jnp.float64), axis=0)
     im = jnp.sum(partial.imag.astype(jnp.float64), axis=0)
+    if axis_name is not None:
+        re = lax.psum(re, axis_name)
+        im = lax.psum(im, axis_name)
     return re, im
 
 
-def eigh_host_c128(t_re: jnp.ndarray, t_im: jnp.ndarray):
-    """Hermitian eigendecomposition at complex128 via host callback.
+def eigh_f64_embedding(t_re: jnp.ndarray, t_im: jnp.ndarray,
+                       split: float = 1e-10):
+    """complex128-equivalent Hermitian eigh, entirely on device, via the
+    real-symmetric embedding  M = [[Re T, -Im T], [Im T, Re T]]  in f64.
 
-    TPU has no complex128; the (small, <=3m x 3m) Rayleigh-Ritz matrix is
-    shipped to the host as an f64 (re, im) pair and diagonalized with LAPACK.
-    The MATLAB reference gathers the same matrix to CPU every iteration
-    (paper_1_matlab/PCs_linear_lobpcg_single_gpu.m:140); at this size the
-    transfer is microseconds.
+    TPU has no complex128 (and this backend has no host callbacks), but f64
+    reals work; the embedding's spectrum is each complex eigenvalue doubled,
+    and an embedding eigenvector [x; y] maps to the complex eigenvector
+    x + i y (the pair partner is its multiplication by i).
+
+    Degenerate complex eigenvalues (multiplicity d -> embedding 2d) would
+    make every-other-column selection unsafe, so a deterministic graded
+    diagonal perturbation of size ``split * scale`` separates all complex
+    eigenvalues first; the perturbation (default 1e-10 relative) is far
+    above the f64 backward error and far below the accuracy we need.
+
+    Inputs: t_re symmetric, t_im antisymmetric, both (p, p) f64.
+    Returns (w (p,) f64 ascending, v_re (p, p) f64, v_im (p, p) f64).
     """
-    import numpy as np
-
     p = t_re.shape[0]
+    scale = jnp.max(jnp.abs(t_re)) + jnp.max(jnp.abs(t_im)) + 1e-300
+    pert = split * scale * (jnp.arange(p, dtype=jnp.float64) / p)
+    t_re = t_re + jnp.diag(pert)
+    m = jnp.block([[t_re, -t_im], [t_im, t_re]])
+    w2, u = jnp.linalg.eigh(m)
+    return w2[::2], u[:p, ::2], u[p:, ::2]
 
-    def cb(tr, ti):
-        t = tr + 1j * ti
-        w, v = np.linalg.eigh((t + t.conj().T) / 2)
-        return (w.astype(np.float64), np.ascontiguousarray(v.real),
-                np.ascontiguousarray(v.imag))
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((p,), jnp.float64),
-        jax.ShapeDtypeStruct((p, p), jnp.float64),
-        jax.ShapeDtypeStruct((p, p), jnp.float64),
-    )
-    return jax.pure_callback(cb, out_shapes, t_re, t_im,
-                             vmap_method="sequential")
+def _loewdin_mixer(g_re: jnp.ndarray, g_im: jnp.ndarray, jitter: float):
+    """Hermitian inverse square root S = V L^{-1/2} V^H of a PSD Gram given
+    as f64 (re, im), eigendecomposed via the real embedding.  Returns S as
+    f64 (re, im).  Eigenvalues are clamped at ``jitter * max`` so the mixer
+    is always finite."""
+    w, vr, vi = eigh_f64_embedding(g_re, g_im)
+    w = jnp.maximum(w, jitter * jnp.maximum(w[-1], 1e-300))
+    d = 1.0 / jnp.sqrt(w)
+    vrd, vid = vr * d, vi * d
+    s_re = vrd @ vr.T + vid @ vi.T
+    s_im = vid @ vr.T - vrd @ vi.T
+    return s_re, s_im
+
+
+def masked_loewdin(block: jnp.ndarray, mask: jnp.ndarray, jitter: float,
+                   hblock: Optional[jnp.ndarray] = None, passes: int = 1,
+                   axis_name=None):
+    """Orthonormalize active rows by Loewdin/SVQB symmetric orthogonalization.
+
+    Equivalent role to :func:`masked_cholqr` but built ONLY from f64 real
+    eigh + matmuls — no complex Cholesky / triangular solves, which keeps
+    the TPU (no-complex128) path on universally supported ops.  Masked-out
+    rows must be zero; their Gram diagonal is padded so they stay zero and
+    decoupled.  Row convention: Q = mix(S, B) with S = (G + pad)^{-1/2}.
+    """
+    keep = mask[:, None] * mask[None, :]
+    dead64 = jnp.diag(1.0 - mask).astype(jnp.float64)
+    keep64 = keep.astype(jnp.float64)
+    rdtype = jnp.zeros((), dtype=block.dtype).real.dtype
+    for _ in range(passes):
+        g_re, g_im = gram_f64(block, block, axis_name=axis_name)
+        g_re = 0.5 * (g_re + g_re.T) * keep64 + dead64
+        g_im = 0.5 * (g_im - g_im.T) * keep64
+        s_re, s_im = _loewdin_mixer(g_re, g_im, jitter)
+        s = jax.lax.complex(s_re.astype(rdtype),
+                            s_im.astype(rdtype)).astype(block.dtype)
+        block = mix(s, block) * mask[:, None].astype(block.dtype)
+        if hblock is not None:
+            hblock = mix(s, hblock) * mask[:, None].astype(block.dtype)
+    return block, hblock
 
 
 def masked_cholqr(block: jnp.ndarray, mask: jnp.ndarray, jitter: float,
-                  hblock: Optional[jnp.ndarray] = None, passes: int = 1):
+                  hblock: Optional[jnp.ndarray] = None, passes: int = 1,
+                  axis_name=None):
     """Orthonormalize the active rows of a (p, D) block via Cholesky-QR.
 
     Masked-out rows must already be zero; they stay zero (their Gram diagonal
@@ -179,7 +230,7 @@ def masked_cholqr(block: jnp.ndarray, mask: jnp.ndarray, jitter: float,
     keep = mask[:, None] * mask[None, :]
     dead = jnp.diag(1.0 - mask).astype(block.dtype)
     for _ in range(passes):
-        g = hermitize(gram(block, block)) * keep + dead
+        g = hermitize(gram(block, block, axis_name=axis_name)) * keep + dead
         g = g + (jitter * jnp.max(jnp.abs(jnp.diag(g)))) * jnp.eye(
             block.shape[0], dtype=block.dtype)
         l = jnp.linalg.cholesky(g)
@@ -196,10 +247,11 @@ def masked_cholqr(block: jnp.ndarray, mask: jnp.ndarray, jitter: float,
 
 def project_off(block: jnp.ndarray, basis: jnp.ndarray,
                 hblock: Optional[jnp.ndarray] = None,
-                hbasis: Optional[jnp.ndarray] = None):
+                hbasis: Optional[jnp.ndarray] = None,
+                axis_name=None):
     """Project the rows of ``block`` off the orthonormal rows of ``basis``
     (and apply the same combination to hblock using hbasis)."""
-    coeff = gram(basis, block)            # (p_basis, p_block)
+    coeff = gram(basis, block, axis_name=axis_name)   # (p_basis, p_block)
     block = block - mix(coeff, basis)
     if hblock is not None:
         hblock = hblock - mix(coeff, hbasis)

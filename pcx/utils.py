@@ -41,11 +41,15 @@ def norm(x) -> jnp.ndarray:
     return jnp.linalg.norm(jnp.asarray(x))
 
 
-def norms(x: jnp.ndarray) -> jnp.ndarray:
+def norms(x: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """Per-vector 2-norms of a block (m, ...) -> (m,)
-    (reference: environment.py:131-143)."""
+    (reference: environment.py:131-143).  ``axis_name``: mesh axis to psum
+    over when the vector dimension is sharded (shard_map contexts)."""
     v = as_blockvec(x)
-    return jnp.sqrt(jnp.sum((v.conj() * v).real, axis=1))
+    sq = jnp.sum((v.conj() * v).real, axis=1)
+    if axis_name is not None:
+        sq = jax.lax.psum(sq, axis_name)
+    return jnp.sqrt(sq)
 
 
 def dots(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
