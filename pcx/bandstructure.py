@@ -61,10 +61,10 @@ class KPointSolver:
             k=cfg.k, dtype=dtype)
         self.ct = (lattices.ct_matrix(cfg.lattice) if cfg.lattice
                    else np.eye(3))
-        # k-independent symbol parts, built once (reference computes d_fft,
-        # di_fft once per sweep, numerical_experiments.py:352).
-        self._d, self._di = sym.curl_symbols(cfg.n, cfg.k, self.ct,
-                                             scal=cfg.scal)
+        # k-independent symbol parts on the UNIT cell, built once (reference
+        # computes d_fft, di_fft once per sweep, num_exp.py:352); the lattice
+        # constant enters as a single 1/scal factor on the whole curl symbol.
+        self._d, self._di = sym.curl_symbols(cfg.n, cfg.k, self.ct, scal=1.0)
 
     @lru_cache(maxsize=8)
     def _jitted(self, m: int):
@@ -90,18 +90,21 @@ class KPointSolver:
         return run, a_apply
 
     def symbols_for(self, alpha):
-        """k-dependent symbols with the reference scaling chain
-        (numerical_experiments.py:422-446)."""
+        """k-dependent symbols for a dimensionless BZ wave vector alpha.
+
+        Clean scaling semantics (identical to the reference at SCAL=1,
+        numerical_experiments.py:55-63, consistent at any scal): the curl
+        symbol is the unit-cell symbol divided by the lattice constant,
+        D_A = (D + i alpha D0)/scal, so lambda ~ 1/scal^2 and
+        omega = sqrt(lambda) * scal / (2 pi) is scale-invariant; the
+        Gamma-point shift scales with the spectrum as shift/scal^2."""
         cfg = self.cfg
-        (shift, _), pnt = set_relaxation(alpha, scal=cfg.scal)
-        d_a = sym.shift_symbol(self._d, self._di, alpha, scal=cfg.scal)
+        (shift, _), pnt = set_relaxation(alpha)
+        shift = shift / cfg.scal**2
+        d_a = sym.shift_symbol(self._d, self._di, alpha, scal=1.0) / cfg.scal
         b_raw = sym.penalty_symbol(d_a)
         inv = sym.inverse_penalized(b_raw, pnt, shift=shift)
-        scal = cfg.scal
-        d_a = d_a / scal
-        b = sym.HermSymbol(pnt * b_raw.diag / scal**2,
-                           pnt * b_raw.sdiag / scal**2)
-        inv = sym.HermSymbol(inv.diag * scal**2, inv.sdiag * scal**2)
+        b = sym.HermSymbol(pnt * b_raw.diag, pnt * b_raw.sdiag)
         rdt = jnp.zeros((), dtype=self.dtype).real.dtype
         return (
             jnp.asarray(d_a, dtype=self.dtype),
@@ -113,7 +116,7 @@ class KPointSolver:
         )
 
     def block_width(self, alpha) -> int:
-        (_, rlx), _ = set_relaxation(alpha, scal=self.cfg.scal)
+        (_, rlx), _ = set_relaxation(alpha)
         return block_width(self.cfg.nev, rlx)
 
     def solve(self, alpha, x0: Optional[jnp.ndarray] = None,
@@ -221,7 +224,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     x_prev = None
     prev_idx = None
     for i in indices:
-        alpha = alphas[i] / cfg.scal
+        alpha = alphas[i]
         # Warm start only along contiguous path segments
         # (reference: numerical_experiments.py:425-432).
         x0 = x_prev if (prev_idx is not None and abs(i - prev_idx) <= 1) else None

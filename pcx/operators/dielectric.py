@@ -40,12 +40,27 @@ from pcx.operators.blocks import h_block
 
 @dataclasses.dataclass(frozen=True)
 class DielectricOp:
-    """A jit-traceable inverse-dielectric operator."""
+    """A jit-traceable inverse-dielectric operator.
+
+    ``diag`` / ``offdiag_abs_row_sums``: optional structural accessors used
+    by the SDD / HPD censuses (reference: check_sdd, paper_2_test.py:259-297)
+    — matrix-free equivalents of the reference's CSR row scans.
+    """
     name: str
     apply: Callable[[jnp.ndarray], jnp.ndarray]
+    diag: Optional[Callable[[], jnp.ndarray]] = None
+    offdiag_abs_row_sums: Optional[Callable[[], jnp.ndarray]] = None
 
     def __call__(self, x):
         return self.apply(x)
+
+    def sdd_violations(self) -> int:
+        """Rows where strict diagonal dominance fails."""
+        if self.diag is None or self.offdiag_abs_row_sums is None:
+            raise NotImplementedError(f"{self.name} has no SDD accessors")
+        d = self.diag()
+        s = self.offdiag_abs_row_sums()
+        return int(jnp.sum(d <= s))
 
 
 def identity_op() -> DielectricOp:
@@ -58,6 +73,21 @@ def scalar_field_op(inv_eps: jnp.ndarray) -> DielectricOp:
     (covers the smooth-eps ablation, paper_2/paper_2_test.py:146-190)."""
     inv_eps = jnp.asarray(inv_eps)
     return DielectricOp("scalar_field", lambda x: x * inv_eps)
+
+
+def smooth_eps_op(n: int, eps_func: Callable = None,
+                  dtype=jnp.float64) -> DielectricOp:
+    """Smooth spatially varying scalar eps evaluated at the staggered edge
+    DoF coordinates (reference: largek_smooth_cmp, paper_2_test.py:146-190;
+    default eps(x,y,z) = 8.9 sin(2 pi (x+y+z)) + 13)."""
+    if eps_func is None:
+        eps_func = lambda x, y, z: 8.9 * np.sin(2 * np.pi * (x + y + z)) + 13.0
+    from pcx import geometry
+    inv = np.empty((3, n, n, n))
+    for c in range(3):
+        x, y, z = geometry.edge_coords(n, c)
+        inv[c] = 1.0 / np.broadcast_to(eps_func(x, y, z), (n, n, n))
+    return scalar_field_op(jnp.asarray(inv, dtype=dtype))
 
 
 def chiral_op(n: int, lattice: Optional[str], eps: float = 0.0,
@@ -108,8 +138,15 @@ def pseudochiral_trivial_op(n: int, lattice: Optional[str], eps_opt: int = 0,
     real_dtype = jnp.zeros((), dtype=dtype).real.dtype
     diag_j = jnp.asarray(diag, dtype=real_dtype)
     sdiag_j = jnp.asarray(sdiag, dtype=dtype)
+
+    def offdiag_abs():
+        a = jnp.abs(sdiag_j)
+        return jnp.stack((a[0] + a[1], a[0] + a[2], a[1] + a[2]))
+
     return DielectricOp("pseudochiral_trivial",
-                        lambda x: h_block(x, (diag_j, sdiag_j)))
+                        lambda x: h_block(x, (diag_j, sdiag_j)),
+                        diag=lambda: diag_j,
+                        offdiag_abs_row_sums=offdiag_abs)
 
 
 # ---------------------------------------------------------------------------
@@ -203,7 +240,40 @@ def pseudochiral_crossdof_op(n: int, lattice: Optional[str], eps_opt: int = 0,
               + np.conj(e5) * mt_apply(x1, r23, c23, a23))
         return jnp.stack((y0, y1, y2), axis=-4)
 
-    return DielectricOp("pseudochiral_crossdof", apply)
+    def offdiag_abs():
+        # |M_ab| entries factor exactly: entry = T_rc * (mask_row_r +
+        # mask_col_c)/2 with T from real stencils, so |M| row sums are the
+        # same separable stencils with |weights| (matrix-free SDD census;
+        # the reference scans the CSR, paper_2_test.py:259-269).
+        sten_abs = tuple(abs(w) for w in sten)
+        one = jnp.ones((n, n, n), diag_j.dtype)
+
+        def tabs(x, axes, transpose_all):
+            for axis, tr in axes:
+                x = _avg(x, sten_abs, axis, tr != transpose_all)
+            return x
+
+        def m_rowsum(row_c, col_c, axes):
+            return 0.5 * (masks[row_c] * tabs(one, axes, False)
+                          + tabs(masks[col_c], axes, False))
+
+        def mt_rowsum(row_c, col_c, axes):
+            return 0.5 * (tabs(masks[row_c], axes, True)
+                          + masks[col_c] * tabs(one, axes, True))
+
+        r12, c12, a12 = pair_defs["12"]
+        r13, c13, a13 = pair_defs["13"]
+        r23, c23, a23 = pair_defs["23"]
+        s0 = abs(e3) * m_rowsum(r12, c12, a12) + abs(e4) * m_rowsum(r13, c13, a13)
+        s1 = (abs(e3) * mt_rowsum(r12, c12, a12)
+              + abs(e5) * m_rowsum(r23, c23, a23))
+        s2 = (abs(e4) * mt_rowsum(r13, c13, a13)
+              + abs(e5) * mt_rowsum(r23, c23, a23))
+        return jnp.stack((s0, s1, s2))
+
+    return DielectricOp("pseudochiral_crossdof", apply,
+                        diag=lambda: diag_j,
+                        offdiag_abs_row_sums=offdiag_abs)
 
 
 DIELECTRIC_REGISTRY: Dict[str, Callable] = {

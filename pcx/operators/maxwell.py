@@ -99,16 +99,16 @@ class MaxwellProblem:
 
 def assemble_symbols(n: int, k: int, ct: np.ndarray, alpha, pnt: float,
                      shift: float, scal: float = SCAL, dtype=jnp.complex128):
-    """Build (d_a, b, inv) for one k-point with the reference scaling chain
-    (paper_2/numerical_experiments.py:55-63)."""
-    d, di = sym.curl_symbols(n, k, ct, scal=scal)
-    d_a = sym.shift_symbol(d, di, alpha, scal=scal)
+    """Build (d_a, b, inv) for one dimensionless BZ wave vector alpha.
+
+    Scaling semantics (reference chain at SCAL=1, num_exp.py:55-63; made
+    consistent for any scal): D_A = (D_unit + i alpha D0) / scal, the
+    shift is passed already in physical units."""
+    d, di = sym.curl_symbols(n, k, ct, scal=1.0)
+    d_a = sym.shift_symbol(d, di, alpha, scal=1.0) / scal
     b_raw = sym.penalty_symbol(d_a)
     inv = sym.inverse_penalized(b_raw, pnt, shift=shift)
-
-    d_a = d_a / scal
-    b = sym.HermSymbol(pnt * b_raw.diag / scal**2, pnt * b_raw.sdiag / scal**2)
-    inv = sym.HermSymbol(inv.diag * scal**2, inv.sdiag * scal**2)
+    b = sym.HermSymbol(pnt * b_raw.diag, pnt * b_raw.sdiag)
 
     real_dtype = jnp.zeros((), dtype=dtype).real.dtype
     return (
@@ -128,7 +128,8 @@ def assemble_problem(cfg: ProblemConfig, alpha,
     Reference call chain: set_relaxation -> fft_blocks -> inverse_3_times_3_B
     -> scaling -> dielectric handle (numerical_experiments.py:33-85).
     """
-    (shift, _rlx), pnt = set_relaxation(alpha, scal=cfg.scal)
+    (shift, _rlx), pnt = set_relaxation(alpha)
+    shift = shift / cfg.scal**2
     ct = lattices.ct_matrix(cfg.lattice) if cfg.lattice else np.eye(3)
     d_a, b, inv = assemble_symbols(cfg.n, cfg.k, ct, alpha, pnt, shift,
                                    scal=cfg.scal, dtype=dtype)

@@ -90,6 +90,7 @@ def lobpcg_sep(
     refresh_every: int = 10,
     floor_patience: int = 15,
     reduce_axis=None,
+    use_p: bool = True,
 ) -> SolveResult:
     """LOBPCG for the standard Hermitian eigenproblem H x = lambda x.
 
@@ -251,7 +252,7 @@ def lobpcg_sep(
             hw = h_func(wf.reshape(s.x.shape))
             hwf = flat(hw)
 
-            p_act = active * (it > 0)
+            p_act = active * (it > 0) * (1.0 if use_p else 0.0)
             pcol = p_act[:, None].astype(cdtype)
             pf, hpf = flat(s.p) * pcol, flat(s.hp) * pcol
             pf, pn = _col_normalize(pf, tiny, axis_name=reduce_axis)
@@ -351,6 +352,15 @@ def lobpcg_sep_softlock(h_func, p_func, x0, nev, **kw) -> SolveResult:
 def lobpcg_sep_nolock(h_func, p_func, x0, nev, **kw) -> SolveResult:
     """No-locking variant (reference: lobpcg.py:76-193)."""
     kw["locking"] = False
+    return lobpcg_sep(h_func, p_func, x0, nev, **kw)
+
+
+def descent_sep(h_func, p_func, x0, nev, **kw) -> SolveResult:
+    """Two-term preconditioned steepest descent: the [X | W] iteration
+    without the LOBPCG conjugate block (reference: descent_sep,
+    paper_2/lobpcg.py:847-974).  Slower than LOBPCG; kept for the
+    reference's ablation studies."""
+    kw["use_p"] = False
     return lobpcg_sep(h_func, p_func, x0, nev, **kw)
 
 
