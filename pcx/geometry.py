@@ -193,7 +193,8 @@ def _cache_path(lattice: str, n: int, dofs: str) -> str:
 
 
 def edge_mask(n: int, lattice: Optional[str], cache: bool = True,
-              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+              rng: Optional[np.random.Generator] = None,
+              use_native: bool = True) -> np.ndarray:
     """Boolean (3, N, N, N) mask of material edge DoFs.
 
     ``lattice=None`` produces the reference's random fake (~37.2% fill,
@@ -206,11 +207,16 @@ def edge_mask(n: int, lattice: Optional[str], cache: bool = True,
     if cache and os.path.exists(path):
         with np.load(path) as f:
             return np.unpackbits(f["bits"])[: 3 * n**3].reshape(3, n, n, n).astype(bool)
-    flag = FLAG_REGISTRY[lattice]
     ct_inv_t = np.linalg.inv(lattices.ct_matrix(lattice).T)
-    mask = np.empty((3, n, n, n), dtype=bool)
-    for c in range(3):
-        mask[c] = flag(*_transform(edge_coords(n, c), ct_inv_t))
+    mask = None
+    if use_native:
+        from pcx import native
+        mask = native.edge_mask(n, lattice, ct_inv_t)
+    if mask is None:
+        flag = FLAG_REGISTRY[lattice]
+        mask = np.empty((3, n, n, n), dtype=bool)
+        for c in range(3):
+            mask[c] = flag(*_transform(edge_coords(n, c), ct_inv_t))
     if cache:
         os.makedirs(CACHE_DIR, exist_ok=True)
         np.savez_compressed(path, bits=np.packbits(mask.reshape(-1)))
@@ -218,7 +224,8 @@ def edge_mask(n: int, lattice: Optional[str], cache: bool = True,
 
 
 def volume_mask(n: int, lattice: Optional[str], cache: bool = True,
-                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+                rng: Optional[np.random.Generator] = None,
+                use_native: bool = True) -> np.ndarray:
     """Boolean (N, N, N) mask of material cell centers."""
     if lattice is None:
         rng = rng or np.random.default_rng(1)
@@ -227,10 +234,15 @@ def volume_mask(n: int, lattice: Optional[str], cache: bool = True,
     if cache and os.path.exists(path):
         with np.load(path) as f:
             return np.unpackbits(f["bits"])[: n**3].reshape(n, n, n).astype(bool)
-    flag = FLAG_REGISTRY[lattice]
     ct_inv_t = np.linalg.inv(lattices.ct_matrix(lattice).T)
-    mask = flag(*_transform(volume_coords(n), ct_inv_t))
-    mask = np.broadcast_to(mask, (n, n, n)).copy()
+    mask = None
+    if use_native:
+        from pcx import native
+        mask = native.volume_mask(n, lattice, ct_inv_t)
+    if mask is None:
+        flag = FLAG_REGISTRY[lattice]
+        mask = flag(*_transform(volume_coords(n), ct_inv_t))
+        mask = np.broadcast_to(mask, (n, n, n)).copy()
     if cache:
         os.makedirs(CACHE_DIR, exist_ok=True)
         np.savez_compressed(path, bits=np.packbits(mask.reshape(-1)))

@@ -28,14 +28,37 @@ def hermitize(m: jnp.ndarray) -> jnp.ndarray:
     return (m + m.conj().T) * 0.5
 
 
+def _rdot(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               precision=lax.Precision.HIGHEST)
+
+
+_GRAM_DIMS = (((1,), (1,)), ((), ()))
+_MIX_DIMS = (((0,), (0,)), ((), ()))
+
+
+def _csplit_dot(a: jnp.ndarray, b: jnp.ndarray, dims, conj_a: bool):
+    """Complex contraction via four REAL dot_generals.
+
+    Complex dot_general is unimplemented on this TPU backend (and complex
+    matmuls decompose to real MXU passes anyway), so all Gram/update GEMMs
+    run as real f32/f64 dots at HIGHEST precision.
+    """
+    if not jnp.iscomplexobj(a):
+        return _rdot(a, b, dims)
+    ar, ai = a.real, a.imag
+    if conj_a:
+        ai = -ai
+    br, bi = b.real, b.imag
+    re = _rdot(ar, br, dims) - _rdot(ai, bi, dims)
+    im = _rdot(ar, bi, dims) + _rdot(ai, br, dims)
+    return jax.lax.complex(re, im)
+
+
 def gram(x: jnp.ndarray, y: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """G[i, j] = <x_i, y_j> for row-blocks x (p, D), y (q, D).
     ``axis_name``: mesh axis to psum over when D is sharded."""
-    g = jax.lax.dot_general(
-        x.conj(), y,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-    )
+    g = _csplit_dot(x, y, _GRAM_DIMS, conj_a=True)
     if axis_name is not None:
         g = lax.psum(g, axis_name)
     return g
@@ -46,11 +69,11 @@ def mix(coeff: jnp.ndarray, blocks: jnp.ndarray) -> jnp.ndarray:
 
     coeff (p, q), blocks (p, D) -> (q, D).
     """
-    return jax.lax.dot_general(
-        coeff, blocks,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-    )
+    if jnp.iscomplexobj(coeff) != jnp.iscomplexobj(blocks):
+        cdt = jnp.promote_types(coeff.dtype, blocks.dtype)
+        coeff = coeff.astype(cdt)
+        blocks = blocks.astype(cdt)
+    return _csplit_dot(coeff, blocks, _MIX_DIMS, conj_a=False)
 
 
 def short_qr(x: jnp.ndarray) -> jnp.ndarray:
@@ -133,13 +156,16 @@ def gram_f64(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 65536,
         y = jnp.pad(y, ((0, 0), (0, pad)))
     xc = x.reshape(p, nc, chunk).transpose(1, 0, 2)
     yc = y.reshape(q, nc, chunk).transpose(1, 0, 2)
-    partial = jax.lax.dot_general(
-        xc.conj(), yc,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        precision=lax.Precision.HIGHEST,
-    )  # (nc, p, q) complex64
-    re = jnp.sum(partial.real.astype(jnp.float64), axis=0)
-    im = jnp.sum(partial.imag.astype(jnp.float64), axis=0)
+    # Real-split batched dots (complex dot_general is unimplemented on this
+    # TPU backend): (nc, p, q) f32 partials, accumulated in f64.
+    dims = (((2,), (2,)), ((0,), (0,)))
+    xr, xi, yr, yi = xc.real, xc.imag, yc.real, yc.imag
+    p_rr = _rdot(xr, yr, dims)
+    p_ii = _rdot(xi, yi, dims)
+    p_ri = _rdot(xr, yi, dims)
+    p_ir = _rdot(xi, yr, dims)
+    re = jnp.sum(p_rr.astype(jnp.float64) + p_ii.astype(jnp.float64), axis=0)
+    im = jnp.sum(p_ri.astype(jnp.float64) - p_ir.astype(jnp.float64), axis=0)
     if axis_name is not None:
         re = lax.psum(re, axis_name)
         im = lax.psum(im, axis_name)

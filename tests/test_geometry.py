@@ -77,3 +77,17 @@ def test_ct_transform_applied():
         for c in range(3)
     ])
     assert (mask_t != mask_u).any()
+
+
+def test_native_engine_parity():
+    """C++/OpenMP geometry engine produces bit-identical masks to numpy."""
+    from pcx import native
+    if not native.available():
+        pytest.skip("native geometry library not built")
+    for flag in geometry.FLAG_REGISTRY:
+        m_nat = geometry.edge_mask(9, flag, cache=False, use_native=True)
+        m_py = geometry.edge_mask(9, flag, cache=False, use_native=False)
+        np.testing.assert_array_equal(m_nat, m_py)
+        v_nat = geometry.volume_mask(9, flag, cache=False, use_native=True)
+        v_py = geometry.volume_mask(9, flag, cache=False, use_native=False)
+        np.testing.assert_array_equal(v_nat, v_py)
