@@ -139,3 +139,47 @@ def test_residual_history_monotone_tail(rng):
     his = his[~np.isnan(his)]
     assert len(his) >= 3
     assert his[-1] < his[0]
+
+
+def test_davidson_dense(rng):
+    from pcx.solvers import davidson as dav
+    n, nev = 100, 4
+    a = _random_hpd(n, rng, cond=30)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    aj = jnp.asarray(a)
+    x0 = jnp.asarray(rng.normal(size=(nev + 2, n))
+                     + 1j * rng.normal(size=(nev + 2, n)))
+    res = dav.davidson_sep(lambda v: v @ aj.T, lambda v: v, x0, nev,
+                           tol=1e-4, maxiter=200, subspace=30)
+    assert int(res.status) == 1  # CONVERGED at tol
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                               rtol=1e-3)
+
+
+def test_jacobi_davidson_dense(rng):
+    from pcx.solvers import davidson as dav
+    n, nev = 100, 3
+    a = _random_hpd(n, rng, cond=30)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    aj = jnp.asarray(a)
+    x0 = jnp.asarray(rng.normal(size=(nev + 2, n))
+                     + 1j * rng.normal(size=(nev + 2, n)))
+    res = dav.jd_sep(lambda v: v @ aj.T, lambda v: v, x0, nev,
+                     tol=1e-5, maxiter=150, subspace=30, inner_steps=4)
+    assert int(res.status) == 1  # CONVERGED at tol
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                               rtol=1e-4)
+
+
+def test_descent_dense(rng):
+    from pcx.solvers.lobpcg import descent_sep
+    n, nev = 80, 3
+    a = _random_hpd(n, rng, cond=20)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    aj = jnp.asarray(a)
+    x0 = jnp.asarray(rng.normal(size=(nev + 3, n))
+                     + 1j * rng.normal(size=(nev + 3, n)))
+    res = descent_sep(lambda v: v @ aj.T, lambda v: v, x0, nev,
+                      tol=1e-7, maxiter=500)
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                               rtol=1e-5)
