@@ -193,7 +193,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
             indices: Optional[list] = None, gap: int = GAP,
             dtype=jnp.complex128, tol: float = TOL, maxiter: int = MAXITER,
             nev: int = NEV, seed: int = 0, verbose: bool = True,
-            max_retries: int = 0) -> list:
+            metrics_path: Optional[str] = None) -> list:
     """Full Brillouin-zone band sweep with per-k-point JSON checkpointing,
     resume, warm starts, and failure containment.
 
@@ -210,6 +210,8 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     suffix = str(eps_opt) if eps_opt else ""
     path = f"{output_dir}/{diel_type}/bandgap_{lattice}{suffix}.json"
     lib = BandLibrary(path, lattice, n, n_k, nev)
+    from pcx.metrics import RunLogger
+    logger = RunLogger(metrics_path, echo=False)
 
     if indices is None:
         pending = lib.pending_indices()
@@ -236,6 +238,8 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                     f"solver status {lob.Status(result.status).name}")
             lib.record(i, result.iterations, result.wall_time,
                        result.omega_re)
+            logger.log_solve(RunLogger.from_result("bandgap_k", cfg,
+                                                   alpha, result))
             x_prev, prev_idx = result.x, i
             if verbose:
                 print(f"Gap {i + 1}/{n_k} ({lattice}), "

@@ -272,3 +272,29 @@ def indices_to_mask(ind: np.ndarray, n: int, dofs: str = "edge") -> np.ndarray:
     flat = np.zeros(n**3, dtype=bool)
     flat[ind] = True
     return flat.reshape(n, n, n).transpose(2, 1, 0)
+
+
+def volume_adjacent_edge_masks(n: int, lattice: Optional[str]):
+    """Per-component masks of edge DoFs adjacent to material volume cells.
+
+    The reference enumerates, for each material cell, the 4 surrounding
+    edge DoFs of each component (mesh3d_offdiagonal_dofs,
+    paper_2/dielectric.py:132-150); the mask equivalent marks an edge DoF
+    when ANY of its 4 adjacent cells is material, computed with rolls:
+
+      x-edges at (i+1/2, j, k): cells (i, j-1..0, k-1..0) pattern etc.
+    """
+    vm = volume_mask(n, lattice)
+    # For component c, the edge at integer offsets touches the cells
+    # displaced by -1/0 along the two axes orthogonal to c.
+    out = np.zeros((3, n, n, n), dtype=bool)
+    axes = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+    for c in range(3):
+        a1, a2 = axes[c]
+        m = vm
+        acc = np.zeros_like(vm)
+        for s1 in (0, 1):
+            for s2 in (0, 1):
+                acc |= np.roll(np.roll(m, s1, axis=a1), s2, axis=a2)
+        out[c] = acc
+    return out

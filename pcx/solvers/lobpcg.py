@@ -580,3 +580,24 @@ def lobpcg_default(a, nev: int = 20, rlx: int = 4, prec=None,
     if maxmin == "max":
         return lobpcg_sep_max(h_func, x0, nev, tol=tol, maxiter=maxiter)
     raise ValueError("maxmin should be 'min' or 'max'.")
+
+
+def lobpcg_svd(a_func: Callable, at_func: Callable, x0: jnp.ndarray,
+               nev: int, p_func=None, largest: bool = False,
+               tol: float = TOL, maxiter: int = MAXITER) -> SolveResult:
+    """Extreme singular triplets of a linear operator K via the Hermitian
+    problem K^H K v = sigma^2 v.
+
+    The reference ships an INCOMPLETE lobpcg4svd_sep (paper_2/lobpcg.py:
+    1102-1242, uses undefined variables); this is the working equivalent:
+    right singular vectors from LOBPCG on the normal operator, singular
+    values as sqrt of its Ritz values.
+    """
+    h = lambda v: at_func(a_func(v))
+    if largest:
+        res = lobpcg_sep_max(h, x0, nev, tol=tol, maxiter=maxiter)
+    else:
+        res = lobpcg_sep_softlock(h, p_func or (lambda v: v), x0, nev,
+                                  tol=tol, maxiter=maxiter)
+    sig = jnp.sqrt(jnp.maximum(res.lambdas, 0.0))
+    return res._replace(lambdas=sig)

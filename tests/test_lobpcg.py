@@ -183,3 +183,16 @@ def test_descent_dense(rng):
                       tol=1e-7, maxiter=500)
     np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
                                rtol=1e-5)
+
+
+def test_lobpcg_svd_smallest(rng):
+    from pcx.solvers.lobpcg import lobpcg_svd
+    n = 60
+    a = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    a = a + 3 * np.eye(n)  # keep sigma_min away from 0
+    want = np.sort(np.linalg.svd(a, compute_uv=False))[:3]
+    aj = jnp.asarray(a)
+    x0 = jnp.asarray(rng.normal(size=(6, n)) + 1j * rng.normal(size=(6, n)))
+    res = lobpcg_svd(lambda v: v @ aj.T, lambda v: v @ aj.conj(), x0, 3,
+                     tol=1e-9, maxiter=400)
+    np.testing.assert_allclose(np.asarray(res.lambdas[:3]), want, rtol=1e-4)
