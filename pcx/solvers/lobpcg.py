@@ -419,6 +419,7 @@ def lobpcg_gep(
     maxiter: int = MAXITER,
     locking: bool = True,
     normalize: bool = True,
+    use_p: bool = True,
 ) -> SolveResult:
     """LOBPCG for the generalized problem H x = lambda M x (M HPD).
 
@@ -492,7 +493,7 @@ def lobpcg_gep(
             if normalize:
                 w, _ = _col_normalize(w, tiny)
             hw, mw = h_func(w), m_func(w)
-            p_act = active * (it > 0)
+            p_act = active * (it > 0) * (1.0 if use_p else 0.0)
             pmask = p_act.reshape(bshape).astype(cdtype)
             p, hp, mp = s.p * pmask, s.hp * pmask, s.mp * pmask
 
@@ -580,6 +581,13 @@ def lobpcg_default(a, nev: int = 20, rlx: int = 4, prec=None,
     if maxmin == "max":
         return lobpcg_sep_max(h_func, x0, nev, tol=tol, maxiter=maxiter)
     raise ValueError("maxmin should be 'min' or 'max'.")
+
+
+def descent_gep(h_func, m_func, p_func, x0, nev, **kw) -> SolveResult:
+    """Two-term steepest descent for the generalized problem
+    (reference: descent_gep, paper_2/lobpcg.py:976-1100)."""
+    kw["use_p"] = False
+    return lobpcg_gep(h_func, m_func, p_func, x0, nev, **kw)
 
 
 def lobpcg_svd(a_func: Callable, at_func: Callable, x0: jnp.ndarray,

@@ -79,3 +79,17 @@ def test_single_precision_end_to_end():
     assert not r32.report.spurious
     np.testing.assert_allclose(r32.omega, r32.omega_re, atol=1e-5)
     np.testing.assert_allclose(r32.omega_re, r64.omega_re, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_golden_convergence_trend():
+    """Coarse-grid frequencies approach the committed reference band values
+    (sc_curv N=120 golden) under grid refinement — the cross-implementation
+    golden test (SURVEY.md section 4.6)."""
+    dev = {}
+    for n in (16, 32):
+        res = bs.eigen_1p(n, "sc_curv", np.array([np.pi, 0, 0]), nev=10,
+                          verbose=False)
+        dev[n] = np.abs(res.omega_re - REF_SC_CURV_X_120).max()
+    assert dev[32] < dev[16] < 0.02
+    assert dev[32] < 0.015
