@@ -50,11 +50,13 @@ class KPointSolver:
     def __init__(self, cfg: ProblemConfig, dtype=jnp.complex128,
                  tol: float = TOL, maxiter: int = MAXITER,
                  solver: str = "softlock",
-                 diel: Optional[diel_mod.DielectricOp] = None):
+                 diel: Optional[diel_mod.DielectricOp] = None,
+                 solver_opts: Optional[dict] = None):
         self.cfg = cfg
         self.dtype = dtype
         self.tol = tol
         self.maxiter = maxiter
+        self.solver_opts = dict(solver_opts or {})
         self.locking = solver != "nolock"
         self.diel = diel if diel is not None else diel_mod.build(
             cfg.diel_type, cfg.n, cfg.lattice, eps_opt=cfg.eps_opt,
@@ -71,6 +73,7 @@ class KPointSolver:
         nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
                                       self.locking)
         diel = self.diel
+        opts = self.solver_opts
 
         @partial(jax.jit, static_argnames=())
         def run(d_a, b, inv, shift, x0):
@@ -81,7 +84,7 @@ class KPointSolver:
                 return h_block(v, inv)
 
             return lob.lobpcg_sep(h_func, p_func, x0, nev, tol=tol,
-                                  maxiter=maxiter, locking=locking)
+                                  maxiter=maxiter, locking=locking, **opts)
 
         @jax.jit
         def a_apply(d_a, x):
