@@ -93,3 +93,18 @@ def test_golden_convergence_trend():
         dev[n] = np.abs(res.omega_re - REF_SC_CURV_X_120).max()
     assert dev[32] < dev[16] < 0.02
     assert dev[32] < 0.015
+
+
+def test_higher_order_stencil_k2():
+    """k=2 (4th-order) stencil path end-to-end: converges, spurious-free,
+    and closer to the fine-grid golden than k=1 at the same N
+    (reference largek studies, paper_2_test.py:118-190)."""
+    from pcx.config import ProblemConfig
+    cfg1 = ProblemConfig(n=12, lattice="sc_curv", nev=6, k=1)
+    cfg2 = ProblemConfig(n=12, lattice="sc_curv", nev=6, k=2)
+    a = np.array([np.pi, 0, 0])
+    r1 = bs.KPointSolver(cfg1).solve(a, seed=0)
+    r2 = bs.KPointSolver(cfg2).solve(a, seed=0)
+    assert r2.status == Status.CONVERGED and not r2.report.spurious
+    # Both approximate the same continuum problem.
+    assert np.abs(r1.omega_re - r2.omega_re).max() < 0.03
