@@ -85,7 +85,7 @@ def lobpcg_sep(
     locking: bool = True,
     normalize: bool = True,
     maxstagniter: int = 50,
-    ortho_passes: int = 2,
+    ortho_passes: int = 1,
     rr_mode: str = "auto",
     refresh_every: int = 10,
     floor_patience: int = 15,
