@@ -38,12 +38,14 @@ from pcx.parallel.mesh import GRID_AXIS, K_AXIS
 from pcx.solvers import lobpcg as lob
 
 
-def sharded_ama_bb(x, d_a, b, scale, shift, axis_name=GRID_AXIS):
-    """Penalized operator on a z-sharded local block; ``scale`` is the
-    pointwise eps^{-1} multiplier in the x-sharded (pencil) layout."""
+def sharded_ama_bb(x, d_a, b, diel_apply, shift, axis_name=GRID_AXIS):
+    """Penalized operator on a z-sharded local block; ``diel_apply`` acts in
+    the x-sharded (pencil) layout between the distributed FFT pair — either
+    a pointwise scale array or any local callable (e.g. h_block for the
+    pseudochiral tensor)."""
     y = a_block(x, -d_a.conj())
     y = pencil_fftn(y, axis_name)
-    y = y * scale
+    y = diel_apply(y) if callable(diel_apply) else y * diel_apply
     y = pencil_ifftn(y, axis_name)
     y = a_block(y, d_a)
     y = y + h_block(x, b)
@@ -55,8 +57,8 @@ def solve_kpoint_sharded(
     d_a: jnp.ndarray,                   # (3, N, N, N) complex, full
     b: Tuple[jnp.ndarray, jnp.ndarray],
     inv: Tuple[jnp.ndarray, jnp.ndarray],
-    scale: jnp.ndarray,                 # pointwise eps^{-1} (3, N, N, N)
-    shift: float,
+    scale: jnp.ndarray,                 # pointwise eps^{-1}: (3,N,N,N) array
+    shift: float,                       # or (diag, sdiag) Hermitian tensor
     x0: jnp.ndarray,                    # (m, 3, N, N, N)
     nev: int,
     tol: float = TOL,
@@ -64,20 +66,35 @@ def solve_kpoint_sharded(
     **solver_kw,
 ):
     """One grid-sharded LOBPCG solve.  Arrays may be passed unsharded; the
-    in_specs place them (z-sharded symbols/fields, x-sharded dielectric)."""
+    in_specs place them (z-sharded symbols/fields, x-sharded dielectric).
+
+    ``scale`` is either the pointwise eps^{-1} multiplier (chiral / smooth)
+    or a (diag, sdiag) pair for the pseudochiral-trivial Hermitian tensor —
+    both are pointwise in the pencil layout.  (Cross-DoF coupling needs halo
+    exchange along sharded axes: single-chip only for now.)
+    """
     zspec3 = P(None, None, None, GRID_AXIS)     # (3, Nx, Ny, Nz) on z
     xspec3 = P(None, GRID_AXIS, None, None)     # (3, Nx, Ny, Nz) on x
     fspec = P(None, None, None, None, GRID_AXIS)
     cdtype = x0.dtype
+    is_herm = isinstance(scale, (tuple, list))
+    diel_args = tuple(scale) if is_herm else (scale,)
+    diel_specs = (xspec3, xspec3) if is_herm else (xspec3,)
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(zspec3, zspec3, zspec3, zspec3, zspec3, xspec3, fspec),
+        in_specs=(zspec3, zspec3, zspec3, zspec3, zspec3) + diel_specs
+        + (fspec,),
         out_specs=(P(), fspec, P(), P(), P()),
         check_rep=False,
     )
-    def _run(d_a, b_d, b_s, i_d, i_s, scale, x0):
-        h = lambda v: sharded_ama_bb(v, d_a, (b_d, b_s), scale,
+    def _run(d_a, b_d, b_s, i_d, i_s, *rest):
+        *diel_local, x0 = rest
+        if is_herm:
+            diel = lambda v: h_block(v, (diel_local[0], diel_local[1]))
+        else:
+            diel = diel_local[0]
+        h = lambda v: sharded_ama_bb(v, d_a, (b_d, b_s), diel,
                                      jnp.asarray(shift, cdtype))
         p = lambda v: h_block(v, (i_d, i_s))
         solver_kw.setdefault("rr_mode", "f64")
@@ -86,5 +103,6 @@ def solve_kpoint_sharded(
         return (res.lambdas, res.x, res.iterations, res.status,
                 res.res_history)
 
-    lam, x, it, st, his = _run(d_a, b[0], b[1], inv[0], inv[1], scale, x0)
+    lam, x, it, st, his = _run(d_a, b[0], b[1], inv[0], inv[1],
+                               *diel_args, x0)
     return lob.SolveResult(lam, x, it, st, his)

@@ -78,3 +78,38 @@ def test_dryrun_multichip_runs():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_solve_pseudochiral_trivial(mesh4):
+    """Hermitian-tensor (pointwise) dielectric sharded solve matches the
+    single-device pseudochiral-trivial solve."""
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+    from pcx.operators import maxwell
+    from pcx.parallel.solve import solve_kpoint_sharded
+    from pcx.operators import dielectric as diel_mod
+
+    n, nev = 8, 3
+    alpha = np.array([np.pi, 0, 0])
+    cfg = ProblemConfig(n=n, lattice="sc_curv",
+                        diel_type="pseudochiral_trivial", nev=nev)
+    single = KPointSolver(cfg, dtype=jnp.complex128)
+    d_a, b, inv, shift = single.symbols_for(alpha)
+    x0 = maxwell.random_block(jax.random.PRNGKey(1), n, nev + 2,
+                              jnp.complex128)
+    r1 = single.solve(alpha, x0=x0, validate_result=False)
+
+    # Rebuild the same tensor arrays for the sharded path.
+    from pcx import geometry
+    from pcx.config import PSEUDOCHIRAL_EPS_LOC, CHIRAL_EPS_EG
+    eps_loc = PSEUDOCHIRAL_EPS_LOC[0] / CHIRAL_EPS_EG["sc_curv"]
+    em = geometry.edge_mask(n, "sc_curv")
+    vm = geometry.volume_mask(n, "sc_curv")
+    diag = np.stack([np.where(em[c], eps_loc[c].real, 1.0) for c in range(3)])
+    sdiag = np.stack([np.where(vm, eps_loc[3 + c], 0.0) for c in range(3)])
+    r2 = solve_kpoint_sharded(mesh4, d_a, b, inv,
+                              (jnp.asarray(diag), jnp.asarray(sdiag)),
+                              shift, x0, nev, tol=1e-6, maxiter=300)
+    lam2 = np.asarray(r2.lambdas)[:nev] - shift
+    lam1 = np.asarray(r1.lambdas)[:nev]
+    np.testing.assert_allclose(lam2, lam1, rtol=5e-5, atol=1e-6)
