@@ -153,21 +153,77 @@ def pseudochiral_trivial_op(n: int, lattice: Optional[str], eps_opt: int = 0,
 # Cross-DoF coupling via separable averaging stencils.
 # ---------------------------------------------------------------------------
 
-def _avg(x: jnp.ndarray, sten, axis: int, transpose: bool) -> jnp.ndarray:
+def _avg(x: jnp.ndarray, sten, axis: int, transpose: bool,
+         roll_fn=None) -> jnp.ndarray:
     """1-D circulant averaging along ``axis``.
 
     Forward form C:   (C x)[r]  = sum_{o=1-k..k} sten[o+k-1] * x[(r+o) % n]
     Transposed  C^T:  (C^T x)[r] = sum_{o}      sten[o+k-1] * x[(r-o) % n]
     Matches the circulant COO built at paper_2/discretization.py:428-431.
+    ``roll_fn(x, shift, axis)`` defaults to jnp.roll; the grid-sharded path
+    substitutes a halo-exchange roll for the sharded axis.
     """
+    if roll_fn is None:
+        roll_fn = lambda v, s, a: jnp.roll(v, s, axis=a)
     k = len(sten) // 2
     out = None
     for j, w in enumerate(sten):
         o = j - (k - 1)           # offsets 1-k .. k
         shift = o if transpose else -o
-        term = w * jnp.roll(x, shift, axis=axis)
+        term = w * roll_fn(x, shift, axis)
         out = term if out is None else out + term
     return out
+
+
+# Axis indices within (..., 3, N, N, N): i -> -3, j -> -2, k -> -1, and the
+# (pair) -> (row component, col component, T factors as (axis, transpose)).
+_AX_I, _AX_J, _AX_K = -3, -2, -1
+_PAIR_DEFS = {
+    "12": (0, 1, ((_AX_K, False), (_AX_J, True))),
+    "13": (0, 2, ((_AX_K, False), (_AX_I, True))),
+    "23": (1, 2, ((_AX_J, False), (_AX_I, True))),
+}
+
+
+def make_crossdof_apply(diag_j, masks, sten, eps3, eps4, eps5, roll_fn=None):
+    """Cross-DoF eps^{-1} apply from (diag, per-component masks, averaging
+    stencil, off-diagonal eps entries).  Shared by the single-device op and
+    the grid-sharded path (which passes a halo-exchange roll_fn)."""
+
+    def t_apply(x, axes, transpose_all):
+        for axis, tr in axes:
+            x = _avg(x, sten, axis, tr != transpose_all, roll_fn)
+        return x
+
+    def m_apply(x, row_c, col_c, axes):
+        # (R_row T + T R_col)/2 applied to x.
+        return 0.5 * (masks[row_c] * t_apply(x, axes, False)
+                      + t_apply(masks[col_c] * x, axes, False))
+
+    def mt_apply(x, row_c, col_c, axes):
+        # transpose: (T^T R_row + R_col T^T)/2 applied to x.
+        return 0.5 * (t_apply(masks[row_c] * x, axes, True)
+                      + masks[col_c] * t_apply(x, axes, True))
+
+    e3, e4, e5 = eps3, eps4, eps5
+
+    def apply(x):
+        x0, x1, x2 = x[..., 0, :, :, :], x[..., 1, :, :, :], x[..., 2, :, :, :]
+        r12, c12, a12 = _PAIR_DEFS["12"]
+        r13, c13, a13 = _PAIR_DEFS["13"]
+        r23, c23, a23 = _PAIR_DEFS["23"]
+        y0 = (diag_j[0] * x0
+              + e3 * m_apply(x1, r12, c12, a12)
+              + e4 * m_apply(x2, r13, c13, a13))
+        y1 = (diag_j[1] * x1
+              + np.conj(e3) * mt_apply(x0, r12, c12, a12)
+              + e5 * m_apply(x2, r23, c23, a23))
+        y2 = (diag_j[2] * x2
+              + np.conj(e4) * mt_apply(x0, r13, c13, a13)
+              + np.conj(e5) * mt_apply(x1, r23, c23, a23))
+        return jnp.stack((y0, y1, y2), axis=-4)
+
+    return apply
 
 
 def pseudochiral_crossdof_op(n: int, lattice: Optional[str], eps_opt: int = 0,
@@ -200,45 +256,8 @@ def pseudochiral_crossdof_op(n: int, lattice: Optional[str], eps_opt: int = 0,
     masks = jnp.asarray(edge_mask, dtype=real_dtype)
     e3, e4, e5 = (complex(eps_loc[3]), complex(eps_loc[4]), complex(eps_loc[5]))
 
-    # Axis indices within (..., 3, N, N, N): i -> -3, j -> -2, k -> -1.
-    AX_I, AX_J, AX_K = -3, -2, -1
-    # (pair) -> (row component, col component, list of (axis, transpose) for T)
-    pair_defs = {
-        "12": (0, 1, ((AX_K, False), (AX_J, True))),
-        "13": (0, 2, ((AX_K, False), (AX_I, True))),
-        "23": (1, 2, ((AX_J, False), (AX_I, True))),
-    }
-
-    def t_apply(x, axes, transpose_all):
-        for axis, tr in axes:
-            x = _avg(x, sten, axis, tr != transpose_all)
-        return x
-
-    def m_apply(x, row_c, col_c, axes):
-        # (R_row T + T R_col)/2 applied to x.
-        return 0.5 * (masks[row_c] * t_apply(x, axes, False)
-                      + t_apply(masks[col_c] * x, axes, False))
-
-    def mt_apply(x, row_c, col_c, axes):
-        # transpose: (T^T R_row + R_col T^T)/2 applied to x.
-        return 0.5 * (t_apply(masks[row_c] * x, axes, True)
-                      + masks[col_c] * t_apply(x, axes, True))
-
-    def apply(x):
-        x0, x1, x2 = x[..., 0, :, :, :], x[..., 1, :, :, :], x[..., 2, :, :, :]
-        r12, c12, a12 = pair_defs["12"]
-        r13, c13, a13 = pair_defs["13"]
-        r23, c23, a23 = pair_defs["23"]
-        y0 = (diag_j[0] * x0
-              + e3 * m_apply(x1, r12, c12, a12)
-              + e4 * m_apply(x2, r13, c13, a13))
-        y1 = (diag_j[1] * x1
-              + np.conj(e3) * mt_apply(x0, r12, c12, a12)
-              + e5 * m_apply(x2, r23, c23, a23))
-        y2 = (diag_j[2] * x2
-              + np.conj(e4) * mt_apply(x0, r13, c13, a13)
-              + np.conj(e5) * mt_apply(x1, r23, c23, a23))
-        return jnp.stack((y0, y1, y2), axis=-4)
+    apply = make_crossdof_apply(diag_j, masks, sten, e3, e4, e5)
+    pair_defs = _PAIR_DEFS
 
     def offdiag_abs():
         # |M_ab| entries factor exactly: entry = T_rc * (mask_row_r +

@@ -47,3 +47,38 @@ def pencil_ifftn(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     x = jnp.fft.ifft(x, axis=AX_Z)
     x = _a2a(x, axis_name, AX_Z, AX_X)      # x gathers, z splits
     return jnp.fft.ifftn(x, axes=(AX_X, AX_Y))
+
+
+def sharded_roll(x: jnp.ndarray, shift: int, axis: int, axis_name: str,
+                 n_shards: int) -> jnp.ndarray:
+    """Circular roll along an axis SHARDED over ``axis_name`` (|shift| must
+    be <= local extent): a halo exchange via ppermute of the wrapped slab.
+
+    Used by the cross-DoF dielectric stencils when their averaging axis is
+    the sharded one (reference applies them as a CSR SpMV on one GPU,
+    paper_2/discretization.py:403-453; here the 2k-wide stencil needs only
+    a k-plane halo from the ring neighbor).
+    """
+    if shift == 0 or n_shards == 1:
+        return jnp.roll(x, shift, axis=axis)
+    nloc = x.shape[axis]
+    s = shift % nloc if shift > 0 else -((-shift) % nloc)
+    if s == 0:
+        return x
+    ndim = x.ndim
+    ax = axis % ndim
+    if s > 0:
+        # out[i] = in[i - s]: first s local planes come from the LEFT
+        # neighbor's tail.
+        send = lax.slice_in_dim(x, nloc - s, nloc, axis=ax)
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        recv = lax.ppermute(send, axis_name, perm)
+        body = lax.slice_in_dim(x, 0, nloc - s, axis=ax)
+        return jnp.concatenate([recv, body], axis=ax)
+    s = -s
+    # out[i] = in[i + s]: last s local planes come from the RIGHT neighbor.
+    send = lax.slice_in_dim(x, 0, s, axis=ax)
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    recv = lax.ppermute(send, axis_name, perm)
+    body = lax.slice_in_dim(x, s, nloc, axis=ax)
+    return jnp.concatenate([body, recv], axis=ax)

@@ -33,9 +33,25 @@ from jax.experimental.shard_map import shard_map
 
 from pcx.config import MAXITER, TOL
 from pcx.operators.blocks import a_block, h_block
-from pcx.parallel.fft import pencil_fftn, pencil_ifftn
+from pcx.operators.dielectric import make_crossdof_apply, _AX_I
+from pcx.parallel.fft import pencil_fftn, pencil_ifftn, sharded_roll
 from pcx.parallel.mesh import GRID_AXIS, K_AXIS
 from pcx.solvers import lobpcg as lob
+
+
+def make_sharded_crossdof(diag, masks, sten, eps3, eps4, eps5,
+                          n_shards: int, axis_name: str = GRID_AXIS):
+    """Cross-DoF eps^{-1} apply for the pencil (x-sharded) layout: the
+    averaging stencils along the sharded x-axis run through halo-exchange
+    rolls (one k-plane ppermute per offset); z/y stencils stay local.
+    ``diag``/``masks`` must be the LOCAL x-shards."""
+
+    def roll_fn(v, shift, axis):
+        if axis % v.ndim == _AX_I % v.ndim and n_shards > 1:
+            return sharded_roll(v, shift, axis, axis_name, n_shards)
+        return jnp.roll(v, shift, axis=axis)
+
+    return make_crossdof_apply(diag, masks, sten, eps3, eps4, eps5, roll_fn)
 
 
 def sharded_ama_bb(x, d_a, b, diel_apply, shift, axis_name=GRID_AXIS):

@@ -113,3 +113,43 @@ def test_sharded_solve_pseudochiral_trivial(mesh4):
     lam2 = np.asarray(r2.lambdas)[:nev] - shift
     lam1 = np.asarray(r1.lambdas)[:nev]
     np.testing.assert_allclose(lam2, lam1, rtol=5e-5, atol=1e-6)
+
+
+def test_sharded_crossdof_apply_matches(mesh4):
+    """Halo-exchange cross-DoF dielectric (x-sharded pencil layout) matches
+    the single-device roll implementation."""
+    from pcx.operators import dielectric as diel_mod
+    from pcx.parallel.solve import make_sharded_crossdof
+    from pcx.parallel.mesh import GRID_AXIS
+    from pcx import geometry, stencils
+    from pcx.config import PSEUDOCHIRAL_EPS_LOC, CHIRAL_EPS_EG
+
+    n, k = 8, 2  # stencil wider than 1 to exercise multi-plane halos
+    lattice = "sc_curv"
+    op = diel_mod.pseudochiral_crossdof_op(n, lattice, k=k)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 3, n, n, n))
+                    + 1j * rng.normal(size=(2, 3, n, n, n)))
+    want = np.asarray(op(x))
+
+    eps_loc = PSEUDOCHIRAL_EPS_LOC[0] / CHIRAL_EPS_EG[lattice]
+    em = geometry.edge_mask(n, lattice)
+    diag = np.stack([np.where(em[c], eps_loc[c].real, 1.0) for c in range(3)])
+    sten = tuple(float(w) for w in stencils.mfd_stencil(k, 0))
+    e3, e4, e5 = (complex(eps_loc[3]), complex(eps_loc[4]),
+                  complex(eps_loc[5]))
+
+    xspec3 = P(None, GRID_AXIS, None, None)
+    xspecf = P(None, None, GRID_AXIS, None, None)
+
+    @partial(shard_map, mesh=mesh4,
+             in_specs=(xspecf, xspec3, xspec3), out_specs=xspecf,
+             check_rep=False)
+    def apply_sharded(xloc, diag_loc, masks_loc):
+        fn = make_sharded_crossdof(diag_loc, masks_loc, sten, e3, e4, e5,
+                                   n_shards=2)
+        return fn(xloc)
+
+    got = np.asarray(apply_sharded(x, jnp.asarray(diag),
+                                   jnp.asarray(em, jnp.float64)))
+    np.testing.assert_allclose(got, want, atol=1e-12)
