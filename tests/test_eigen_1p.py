@@ -108,3 +108,20 @@ def test_higher_order_stencil_k2():
     assert r2.status == Status.CONVERGED and not r2.report.spurious
     # Both approximate the same continuum problem.
     assert np.abs(r1.omega_re - r2.omega_re).max() < 0.03
+
+
+@pytest.mark.parametrize("lattice,ref,tol", [
+    # First k-path point of the committed reference band libraries
+    # (paper_2/output/chiral/bandgap_{fcc,bcc_double_gyroid0}.json row 0).
+    ("fcc", [0.49173, 0.49282, 0.75041, 0.75238, 0.82095], 0.03),
+    ("bcc_dg", [0.41733, 0.41845, 0.41992, 0.42029, 0.6072], 0.06),
+])
+def test_nontrivial_lattice_golden_proximity(lattice, ref, tol):
+    """FCC / BCC-DG coarse-grid frequencies near the N=120 goldens —
+    exercises the CT coordinate transforms end-to-end."""
+    from pcx import lattices
+    a0 = lattices.k_path(lattice)[0]
+    r = bs.eigen_1p(16, lattice, a0, nev=10, verbose=False)
+    assert r.status == Status.CONVERGED and not r.report.spurious
+    dev = np.abs(r.omega_re[:5] - np.array(ref)).max()
+    assert dev < tol, dev
