@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from functools import lru_cache, partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -8,16 +8,16 @@ reference's edit-the-main workflow (SURVEY.md section 5.6).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from pcx import lattices, validate
+from pcx import validate
 from pcx.bandstructure import KPointSolver
-from pcx.config import (NEV, TOL, MAXITER, ProblemConfig, block_width,
+from pcx.config import (NEV, TOL, ProblemConfig, block_width,
                         set_relaxation)
 from pcx.operators import maxwell, symbols as sym
 from pcx.operators.blocks import h_block

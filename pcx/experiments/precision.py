@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from pcx import validate
 from pcx.bandstructure import KPointSolver
 from pcx.config import NEV, ProblemConfig
-from pcx.utils import norms
 
 _PI = np.pi
 DEFAULT_ALPHA = np.array([_PI, _PI, _PI])

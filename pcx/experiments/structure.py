@@ -15,9 +15,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pcx import geometry, validate
+from pcx import geometry
 from pcx.bandstructure import KPointSolver
-from pcx.config import NEV, ProblemConfig, PSEUDOCHIRAL_EPS_LOC
+from pcx.config import NEV, ProblemConfig
 from pcx.io import load_reference_band_json
 from pcx.operators import dense as dense_mod
 from pcx.operators import dielectric as diel_mod

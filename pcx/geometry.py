@@ -26,7 +26,6 @@ from typing import Callable, Dict, Optional, Tuple
 import numpy as np
 
 from pcx import lattices
-from pcx.config import ALL_LATTICES
 
 _PI = np.pi
 

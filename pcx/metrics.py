@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-from pcx.utils import GREEN, RED, RESET, YELLOW
+from pcx.utils import GREEN, RED, RESET
 
 
 @dataclasses.dataclass

@@ -23,8 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pcx import geometry, lattices
-from pcx.config import ProblemConfig, SCAL, set_relaxation, block_width
+from pcx import lattices
+from pcx.config import ProblemConfig, SCAL, set_relaxation
 from pcx.operators import symbols as sym
 from pcx.operators import dielectric as diel_mod
 from pcx.operators.blocks import a_block, h_block

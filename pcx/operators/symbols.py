@@ -22,7 +22,7 @@ discretization.py:224-295) gives the preconditioner symbol
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 

@@ -10,12 +10,12 @@ The reference is single-GPU (SURVEY.md section 2.4); pcx scales along:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 K_AXIS = "k"
 GRID_AXIS = "grid"

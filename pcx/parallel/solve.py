@@ -22,20 +22,20 @@ exchange — single-chip only for now.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from pcx.config import MAXITER, TOL
 from pcx.operators.blocks import a_block, h_block
 from pcx.operators.dielectric import make_crossdof_apply, _AX_I
 from pcx.parallel.fft import pencil_fftn, pencil_ifftn, sharded_roll
-from pcx.parallel.mesh import GRID_AXIS, K_AXIS
+from pcx.parallel.mesh import GRID_AXIS
 from pcx.solvers import lobpcg as lob
 
 

@@ -7,12 +7,11 @@ reference's Python trees).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 
 from pcx import lattices
-from pcx.config import GAP
 from pcx.io import load_reference_band_json
 
 # High-symmetry point labels per Bravais family, ordered like the sym paths

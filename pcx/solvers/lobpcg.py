@@ -21,8 +21,7 @@ recommended solver.  TPU-native redesign choices:
 from __future__ import annotations
 
 import enum
-import functools
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pcx.config import SCAL
-from pcx.utils import GREEN, RED, RESET, dots, norms, sqrt_robust
+from pcx.utils import RED, RESET, dots, norms, sqrt_robust
 
 
 class SpuriousModeError(RuntimeError):
