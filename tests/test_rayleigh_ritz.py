@@ -56,11 +56,13 @@ def test_gram_f64_beats_f32(rng):
     g32 = np.asarray(rr.gram(x32, x32))
     re, im = rr.gram_f64(x32, x32)
     g64 = np.asarray(re) + 1j * np.asarray(im)
-    # The inputs are rounded to c64, so errors below ~1e-7 relative are
-    # unobservable; the chunked version must be at least ~30x closer.
+    # The inputs are rounded to c64, so ~1e-7 relative error is the floor;
+    # the chunked-f64 version must sit at that floor.  (On CPU, XLA already
+    # accumulates f32 dots widely, so only assert it never does worse.)
     err32 = np.abs(g32 - want).max() / np.abs(want).max()
     err64 = np.abs(g64 - want).max() / np.abs(want).max()
-    assert err64 < err32 / 30
+    assert err64 < 1e-7
+    assert err64 <= err32
 
 
 def test_masked_loewdin_orthonormal(rng):
