@@ -122,6 +122,75 @@ class KPointSolver:
         (_, rlx), _ = set_relaxation(alpha)
         return block_width(self.cfg.nev, rlx)
 
+    @lru_cache(maxsize=4)
+    def _jitted_batch(self, m: int, bsize: int):
+        """Vmapped solve over a stacked batch of k-points: one compiled
+        program runs `bsize` independent solves in lockstep, raising the
+        arithmetic intensity of the FFTs/GEMMs on one chip.  (The reference
+        sweeps k-points serially, numerical_experiments.py:418.)"""
+        nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
+                                      self.locking)
+        diel = self.diel
+        opts = self.solver_opts
+
+        def one(d_a, b_d, b_s, i_d, i_s, shift, x0):
+            h = lambda v: maxwell.ama_bb(v, d_a, (b_d, b_s), diel) + shift * v
+            p = lambda v: h_block(v, (i_d, i_s))
+            return lob.lobpcg_sep(h, p, x0, nev, tol=tol, maxiter=maxiter,
+                                  locking=locking, **opts)
+
+        return jax.jit(jax.vmap(one))
+
+    def solve_batch(self, alphas, x0s=None, seed: int = 0,
+                    validate_result: bool = True):
+        """Solve a batch of k-points in one vmapped program.  All k-points
+        must share the same block width (true along a path; the relaxation
+        ratio is constant, config.set_relaxation)."""
+        cfg = self.cfg
+        alphas = [np.asarray(a, float) for a in alphas]
+        ms = {self.block_width(a) for a in alphas}
+        if len(ms) != 1:
+            raise ValueError(f"batch mixes block widths {ms}")
+        m = ms.pop()
+        bsize = len(alphas)
+        packs = [self.symbols_for(a) for a in alphas]
+        d_a = jnp.stack([p[0] for p in packs])
+        b_d = jnp.stack([p[1].diag for p in packs])
+        b_s = jnp.stack([p[1].sdiag for p in packs])
+        i_d = jnp.stack([p[2].diag for p in packs])
+        i_s = jnp.stack([p[2].sdiag for p in packs])
+        shifts = jnp.asarray([p[3] for p in packs], self.dtype)
+        if x0s is None:
+            x0s = jnp.stack([
+                maxwell.random_block(jax.random.PRNGKey(seed + i), cfg.n, m,
+                                     self.dtype) for i in range(bsize)])
+
+        run = self._jitted_batch(m, bsize)
+        t0 = time.time()
+        res = run(d_a, b_d, b_s, i_d, i_s, shifts, x0s)
+        res.lambdas.block_until_ready()
+        wall = time.time() - t0
+
+        out = []
+        _, a_apply = self._jitted(m)
+        for i, alpha in enumerate(alphas):
+            lambdas = np.asarray(res.lambdas[i])
+            status = int(res.status[i])
+            report = None
+            omega = omega_re = None
+            if status in (lob.Status.CONVERGED, lob.Status.FLOOR,
+                          lob.Status.MAXITER) and validate_result:
+                report = validate.recompute(
+                    lambdas[: cfg.nev], res.x[i][: cfg.nev],
+                    lambda v: a_apply(d_a[i], v), shift=float(packs[i][3]),
+                    scal=cfg.scal)
+                omega, omega_re = report.omega_pnt, report.omega_re
+            out.append(EigenResult(
+                omega=omega, omega_re=omega_re, lambdas=lambdas,
+                x=res.x[i], iterations=int(res.iterations[i]),
+                wall_time=wall / bsize, status=status, report=report))
+        return out
+
     def solve(self, alpha, x0: Optional[jnp.ndarray] = None,
               seed: int = 0, validate_result: bool = True,
               verbose: bool = False) -> EigenResult:

@@ -59,3 +59,17 @@ def test_bandgap_sweep_and_resume(tmp_path):
     # All frequencies positive and finite.
     f = np.array(lib2.frequencies)
     assert np.isfinite(f).all() and (f >= 0).all()
+
+
+def test_solve_batch_matches_serial():
+    """Vmapped multi-k batch solve reproduces serial per-k results."""
+    import jax.numpy as jnp
+    from pcx.config import ProblemConfig
+    cfg = ProblemConfig(n=8, lattice="sc_flat1", nev=4)
+    solver = bs.KPointSolver(cfg, dtype=jnp.complex128)
+    alphas = [np.array([np.pi, 0, 0]), np.array([np.pi, np.pi, 0])]
+    batch = solver.solve_batch(alphas, seed=3)
+    for a, rb in zip(alphas, batch):
+        rs = solver.solve(a, seed=11)
+        assert rb.status in (1, 5)
+        np.testing.assert_allclose(rb.omega_re, rs.omega_re, atol=2e-5)
