@@ -141,6 +141,60 @@ def assemble_problem(cfg: ProblemConfig, alpha,
                           shift=float(shift), pnt=float(pnt), scal=cfg.scal)
 
 
+def plane_wave_block(d_a: np.ndarray, m: int, dtype=jnp.complex128,
+                     jitter_key=None) -> jnp.ndarray:
+    """Physics-informed initial block: transverse plane waves at the m/2
+    lowest vacuum eigenvalues.
+
+    The iterate lives in Fourier space, so a plane wave is a one-hot
+    Fourier coefficient.  At frequency f the vacuum operator A A^H acts on
+    the 2D transverse space { v : D(f) . v = 0 } as |D(f)|^2, so the best
+    m-dimensional starting subspace for the lowest bands is the pair of
+    polarizations at the m/2 smallest |D(f)|^2.  (The reference starts from
+    uniform random vectors, numerical_experiments.py:66 — this typically
+    saves a third of the LOBPCG iterations.)
+    """
+    d = np.asarray(d_a)
+    _, n1, n2, n3 = d.shape
+    score = np.sum(np.abs(d) ** 2, axis=0).reshape(-1)
+    n_freq = (m + 1) // 2 + 1
+    idx = np.argpartition(score, n_freq)[:n_freq]
+    idx = idx[np.argsort(score[idx])]
+
+    cols = []
+    for f in idx:
+        df = d.reshape(3, -1)[:, f]
+        # Orthonormal basis of the transverse space {v : df . v = 0}
+        # = orthogonal complement of conj(df).
+        a = np.conj(df)
+        na = np.linalg.norm(a)
+        if na < 1e-14:
+            basis = np.eye(3)[:, :2]
+        else:
+            a = a / na
+            # Householder-style complement.
+            e = np.zeros(3, complex)
+            e[np.argmax(np.abs(a))] = 1.0
+            u = a - e * np.vdot(e, a) / max(abs(np.vdot(e, a)), 1e-30)
+            q, _ = np.linalg.qr(np.column_stack(
+                [a, np.roll(np.eye(3), 1, 1)[:, :2]]))
+            basis = q[:, 1:3]
+        for p in range(2):
+            if len(cols) >= m:
+                break
+            vec = np.zeros((3, n1 * n2 * n3), complex)
+            vec[:, f] = basis[:, p]
+            cols.append(vec.reshape(3, n1, n2, n3))
+        if len(cols) >= m:
+            break
+    x0 = jnp.asarray(np.stack(cols), dtype=dtype)
+    if jitter_key is not None:
+        # Tiny random component to break symmetry-induced invariant
+        # subspaces (the exact eigenvectors are NOT plane waves).
+        x0 = x0 + 1e-2 * random_block(jitter_key, n1, m, dtype)
+    return x0
+
+
 def random_block(key, n: int, m: int, dtype=jnp.complex128) -> jnp.ndarray:
     """Random initial block, shape (m, 3, N, N, N)
     (reference: numerical_experiments.py:66 uses rand + 1j*rand)."""

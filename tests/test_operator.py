@@ -191,3 +191,25 @@ def test_a_block_antisymmetric():
     xv = np.array([x[0, c][p] for c in range(3)])
     np.testing.assert_allclose(np.array([y[0, c][p] for c in range(3)]),
                                m @ xv, atol=1e-12)
+
+
+def test_plane_wave_block_divergence_free():
+    """Plane-wave init columns are unit one-hot Fourier modes transverse to
+    the curl symbol (exactly in the kernel of the penalty)."""
+    from pcx.operators import maxwell
+    from pcx.operators import symbols as sym
+    from pcx.operators.blocks import h_block
+    from pcx import lattices
+    import jax.numpy as jnp
+
+    n, m = 8, 6
+    ct = lattices.ct_matrix("sc_curv")
+    d, di = sym.curl_symbols(n, 1, ct)
+    d_a = sym.shift_symbol(d, di, np.array([np.pi, 0, 0]))
+    x0 = maxwell.plane_wave_block(d_a, m)
+    assert x0.shape == (m, 3, n, n, n)
+    norms = np.linalg.norm(np.asarray(x0).reshape(m, -1), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-12)
+    b = sym.penalty_symbol(jnp.asarray(d_a))
+    bx = h_block(x0, b)
+    assert float(jnp.abs(bx).max()) < 1e-10
