@@ -193,7 +193,6 @@ def library_cmp(n: int, lattice: str, alpha=DEFAULT_ALPHA, nev: int = 6,
     x0 = maxwell.random_block(key, n, m, jnp.complex128).reshape(m, -1).T
     theta, _, it = lobpcg_standard(a_mat, x0, m=300)
     lam_lib = np.sort(np.asarray(theta))[:nev] - shift
-    lam_ours = (np.asarray(ours.lambdas)[:nev] - 0.0)
     lam_ours = (2 * np.pi * np.asarray(ours.omega_re)) ** 2
     if verbose:
         print(f"pcx iters = {ours.iterations}, library iters = {int(it)}")

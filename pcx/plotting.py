@@ -23,12 +23,18 @@ PATH_LABELS = {
 }
 
 
-def compute_bandgap(frequencies: np.ndarray,
-                    n_gap: int = 1) -> np.ndarray:
+def compute_bandgap(frequencies: np.ndarray, n_gap: int = 1,
+                    min_edge: float = 0.02) -> np.ndarray:
     """Largest spectral gap(s) over the whole band library: returns
     [omega_below, omega_above] (or (n_gap, 2))
-    (reference: compute_bandgap_ratio, output.py:19-36)."""
+    (reference: compute_bandgap_ratio, output.py:19-36).
+
+    ``min_edge`` excludes the acoustic region near Gamma (omega -> 0),
+    where a coarsely sampled k-path otherwise fakes a huge "gap" above
+    the zero modes (a sampling artifact the reference's flatten-argmax
+    also exhibits)."""
     f = np.sort(np.asarray(frequencies).flatten())
+    f = f[f > min_edge]
     d = np.diff(f)
     if n_gap == 1:
         i = int(np.argmax(d))
