@@ -177,7 +177,9 @@ def bandgap_pseudo_cmp(n: int, lattice: str, eps_opt: int = 0,
                        output_dir: str = "output", verbose: bool = True):
     """Statistical comparison of trivial vs crossdof band libraries
     (reference: bandgap_pseudo_cmp, paper_2_test.py:299-337)."""
-    suffix = str(eps_opt) if eps_opt else ""
+    # The reference's comparison files always carry the eps_opt suffix
+    # (paper_2_test.py:305-307).
+    suffix = str(eps_opt)
     fq, it = {}, {}
     for t in ("chiral", "pseudochiral_trivial", "pseudochiral_crossdof"):
         path = f"{output_dir}/{t}/bandgap_{lattice}{suffix}.json"

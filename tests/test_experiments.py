@@ -123,3 +123,24 @@ def test_compute_bandgap_simple():
     omgs = plotting.compute_bandgap(freqs)
     np.testing.assert_allclose(omgs, [0.25, 0.5])
     assert plotting.gap_ratio(omgs) == pytest.approx(2 * 0.25 / 0.75)
+
+
+def test_bandgap_pseudo_cmp_on_reference_goldens():
+    """Statistical trivial-vs-crossdof comparison consuming the reference's
+    committed band libraries directly (paper_2_test.py:299-337)."""
+    stats = structure.bandgap_pseudo_cmp(
+        120, "fcc", eps_opt=0,
+        output_dir="/root/reference/paper_2/output", verbose=False)
+    # Paper conclusion: the two discretizations agree to ~1e-2 relative.
+    assert stats["mean"] < 0.05
+    assert stats["iter_means"]["pseudochiral_crossdof"] > 0
+
+
+def test_pack_cmp_smoke(tmp_path):
+    from pcx.experiments import runtime
+    out = runtime.pack_cmp(ns=[8], lattice="sc_flat1", nev=4,
+                           run_cpu=False, verbose=False,
+                           output_path=str(tmp_path / "runtime.json"))
+    rec = out["sc_flat1_8"]
+    assert rec[0] > 0 and rec[2] > 0
+    assert (tmp_path / "runtime.json").exists()
