@@ -6,10 +6,10 @@ recommended solver.  TPU-native redesign choices:
 * the whole iteration is a ``lax.while_loop`` inside one ``jit``: no
   host round-trips, no recompiles across iterations or k-points;
 * soft locking is mask-based: converged residual/P columns are zeroed and
-  excluded from the Rayleigh-Ritz via phantom coordinates
-  (solvers/rayleigh_ritz.masked_rayleigh_ritz) instead of the reference's
-  dynamic column compaction (lobpcg.py:429-437) — same subspace, static
-  shapes;
+  excluded from the Rayleigh-Ritz via phantom coordinates (decoupled Ritz
+  value -1, sliced off below the physical window) instead of the
+  reference's dynamic column compaction (lobpcg.py:429-437) — same
+  subspace, static shapes;
 * W and P columns are re-normalized each iteration (not in the reference);
   this keeps the Gram matrix well-conditioned so the Cholesky-based RR is
   stable in complex64 — the key to running fast on TPU where complex128

@@ -15,7 +15,6 @@ Reference: paper_2/orthogonalization.py.  Differences for TPU:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -103,38 +102,6 @@ def rayleigh_ritz(s: jnp.ndarray, hs: jnp.ndarray):
     g = hermitize(gram(s, s))
     gh = hermitize(gram(s, hs))
     return eigh_pencil(gh, g)
-
-
-@partial(jax.jit, static_argnames=("m",))
-def masked_rayleigh_ritz(s: jnp.ndarray, hs: jnp.ndarray,
-                         basis_mask: jnp.ndarray, m: int,
-                         jitter: float = 0.0):
-    """RR over the masked basis, returning the m smallest *physical*
-    Ritz pairs.
-
-    s, hs: (p, D) row-blocks; basis_mask: (p,) {0,1} floats; masked-out
-    basis rows of s MUST already be zeroed by the caller.
-
-    Dead coordinates are decoupled: G gets 1 on their diagonal, GH gets -1,
-    so their Ritz values are exactly -1 < 0 <= spec(H) and sort first; the
-    physical window starts at index n_dead = p - sum(mask).
-    """
-    p = s.shape[0]
-    keep = basis_mask[:, None] * basis_mask[None, :]
-    dead = 1.0 - basis_mask
-
-    g = hermitize(gram(s, s)) * keep + jnp.diag(dead).astype(s.dtype)
-    gh = hermitize(gram(s, hs)) * keep - jnp.diag(dead).astype(s.dtype)
-    if jitter:
-        g = g + (jitter * jnp.max(jnp.abs(jnp.diag(g)))) * jnp.eye(p, dtype=s.dtype)
-
-    theta_all, c_all = eigh_pencil(gh, g)
-    n_dead = (p - jnp.sum(basis_mask)).astype(jnp.int32)
-    theta = lax.dynamic_slice(theta_all, (n_dead,), (m,))
-    c = lax.dynamic_slice(c_all, (jnp.int32(0), n_dead), (p, m))
-    # Zero any residual weight on dead coordinates (phantom directions).
-    c = c * basis_mask[:, None]
-    return theta.real, c
 
 
 def gram_f64(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 65536,
