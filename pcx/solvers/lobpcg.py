@@ -286,17 +286,23 @@ def lobpcg_sep(
             if use_f64_rr:
                 # f64-accumulated Gram + f64 real-embedding eigh on device:
                 # the RR eigenvalue error drops from eps_f32*||T|| (too
-                # coarse for the 1e-4 tolerance) to f64 level.
-                rows_re, rows_im = [], []
-                for bi in blocks:
-                    row_re, row_im = [], []
-                    for hbj in hblocks:
+                # coarse for the 1e-4 tolerance) to f64 level.  T is
+                # Hermitian (H Hermitian, basis orthonormal), so only the
+                # upper block triangle is computed (6 of 9 block Grams);
+                # the mirror is exact after the final hermitize.
+                rows_re = [[None] * 3 for _ in range(3)]
+                rows_im = [[None] * 3 for _ in range(3)]
+                for i, bi in enumerate(blocks):
+                    for j, hbj in enumerate(hblocks):
+                        if j < i:
+                            continue
                         tre, tim = rr_mod.gram_f64(bi, hbj,
                                                    axis_name=reduce_axis)
-                        row_re.append(tre)
-                        row_im.append(tim)
-                    rows_re.append(row_re)
-                    rows_im.append(row_im)
+                        rows_re[i][j] = tre
+                        rows_im[i][j] = tim
+                        if j > i:
+                            rows_re[j][i] = tre.T
+                            rows_im[j][i] = -tim.T
                 t_re = jnp.block(rows_re)
                 t_im = jnp.block(rows_im)
                 keep64 = keep.astype(jnp.float64)
