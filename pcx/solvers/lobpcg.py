@@ -90,6 +90,7 @@ def lobpcg_sep(
     floor_patience: int = 15,
     reduce_axis=None,
     use_p: bool = True,
+    rr_mirror: bool = False,
 ) -> SolveResult:
     """LOBPCG for the standard Hermitian eigenproblem H x = lambda x.
 
@@ -286,21 +287,23 @@ def lobpcg_sep(
             if use_f64_rr:
                 # f64-accumulated Gram + f64 real-embedding eigh on device:
                 # the RR eigenvalue error drops from eps_f32*||T|| (too
-                # coarse for the 1e-4 tolerance) to f64 level.  T is
-                # Hermitian (H Hermitian, basis orthonormal), so only the
-                # upper block triangle is computed (6 of 9 block Grams);
-                # the mirror is exact after the final hermitize.
+                # coarse for the 1e-4 tolerance) to f64 level.  With
+                # rr_mirror=True only the upper block triangle is computed
+                # (6 of 9 block Grams, ~33% cheaper RR) at the cost of one
+                # decimal of omega accuracy (hermitizing two independently
+                # computed triangles averages rounding out); default keeps
+                # the full 9 for accuracy.
                 rows_re = [[None] * 3 for _ in range(3)]
                 rows_im = [[None] * 3 for _ in range(3)]
                 for i, bi in enumerate(blocks):
                     for j, hbj in enumerate(hblocks):
-                        if j < i:
+                        if rr_mirror and j < i:
                             continue
                         tre, tim = rr_mod.gram_f64(bi, hbj,
                                                    axis_name=reduce_axis)
                         rows_re[i][j] = tre
                         rows_im[i][j] = tim
-                        if j > i:
+                        if rr_mirror and j > i:
                             rows_re[j][i] = tre.T
                             rows_im[j][i] = -tim.T
                 t_re = jnp.block(rows_re)
