@@ -122,7 +122,7 @@ def lobpcg_sep(
     # initial Ritz values without rotating, lobpcg.py:378-381; rotating is
     # strictly better and changes nothing after iteration 1).
     # ------------------------------------------------------------------
-    use_f64_rr = (rr_mode == "f64") or (
+    use_f64_rr = (rr_mode in ("f64", "fast")) or (
         rr_mode == "auto" and cdtype == jnp.complex64)
     ones_m = jnp.ones((m,), rdtype)
 
@@ -312,7 +312,9 @@ def lobpcg_sep(
                 t_re = (0.5 * (t_re + t_re.T) * keep64
                         - jnp.diag(1.0 - basis_mask).astype(jnp.float64))
                 t_im = 0.5 * (t_im - t_im.T) * keep64
-                theta_all, v_re, v_im = rr_mod.eigh_f64_embedding(t_re, t_im)
+                eigh_fn = (rr_mod.eigh_embedding_refined
+                           if rr_mode == "fast" else rr_mod.eigh_f64_embedding)
+                theta_all, v_re, v_im = eigh_fn(t_re, t_im)
                 theta_all = theta_all.astype(rdtype)
                 c_all = jax.lax.complex(
                     v_re.astype(rdtype), v_im.astype(rdtype)).astype(cdtype)

@@ -167,6 +167,33 @@ def eigh_f64_embedding(t_re: jnp.ndarray, t_im: jnp.ndarray,
     return w2[::2], u[:p, ::2], u[p:, ::2]
 
 
+def eigh_embedding_refined(t_re: jnp.ndarray, t_im: jnp.ndarray,
+                           split: float = 1e-8):
+    """Cheaper variant of :func:`eigh_f64_embedding` for TPU: the (2p, 2p)
+    embedding eigh runs in FLOAT32 (native speed) and the Ritz values are
+    then refined in f64 by Rayleigh quotients theta_j = v_j^H T v_j — the
+    quadratic error bound restores f64-level eigenvalues from f32-level
+    eigenvectors.  Use when the emulated f64 eigh dominates the iteration.
+    """
+    p = t_re.shape[0]
+    scale = jnp.max(jnp.abs(t_re)) + jnp.max(jnp.abs(t_im)) + 1e-300
+    pert = split * scale * (jnp.arange(p, dtype=jnp.float64) / p)
+    t_re = t_re + jnp.diag(pert)
+    m32 = jnp.block([[t_re, -t_im], [t_im, t_re]]).astype(jnp.float32)
+    _, u = jnp.linalg.eigh(m32)
+    vr = u[:p, ::2].astype(jnp.float64)
+    vi = u[p:, ::2].astype(jnp.float64)
+    # f64 Rayleigh quotients: theta = Re[(vr - i vi)^T (T)(vr + i vi)] per col.
+    tr_vr = t_re @ vr - t_im @ vi
+    tr_vi = t_re @ vi + t_im @ vr
+    num = jnp.sum(vr * tr_vr + vi * tr_vi, axis=0)
+    den = jnp.sum(vr * vr + vi * vi, axis=0)
+    theta = num / jnp.maximum(den, 1e-300)
+    # eigh ordering is ascending in f32; re-sort after refinement.
+    order = jnp.argsort(theta)
+    return theta[order], vr[:, order], vi[:, order]
+
+
 def _loewdin_mixer(g_re: jnp.ndarray, g_im: jnp.ndarray, jitter: float):
     """Hermitian inverse square root S = V L^{-1/2} V^H of a PSD Gram given
     as f64 (re, im), eigendecomposed via the real embedding.  Returns S as
