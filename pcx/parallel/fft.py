@@ -60,23 +60,20 @@ def sharded_roll(x: jnp.ndarray, shift: int, axis: int, axis_name: str,
     if shift == 0 or n_shards == 1:
         return jnp.roll(x, shift, axis=axis)
     nloc = x.shape[axis]
-    s = shift % nloc if shift > 0 else -((-shift) % nloc)
-    if s == 0:
-        return x
     ndim = x.ndim
     ax = axis % ndim
-    if s > 0:
-        # out[i] = in[i - s]: first s local planes come from the LEFT
-        # neighbor's tail.
-        send = lax.slice_in_dim(x, nloc - s, nloc, axis=ax)
-        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-        recv = lax.ppermute(send, axis_name, perm)
-        body = lax.slice_in_dim(x, 0, nloc - s, axis=ax)
-        return jnp.concatenate([recv, body], axis=ax)
-    s = -s
-    # out[i] = in[i + s]: last s local planes come from the RIGHT neighbor.
-    send = lax.slice_in_dim(x, 0, s, axis=ax)
-    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    # Decompose shift = q*nloc + r (0 <= r < nloc): whole-block ppermute by
+    # q shards, then an r-plane halo from the left neighbor.
+    q, r = divmod(shift, nloc)
+    q %= n_shards
+    if q:
+        perm = [(i, (i + q) % n_shards) for i in range(n_shards)]
+        x = lax.ppermute(x, axis_name, perm)
+    if r == 0:
+        return x
+    # out[i] = in[i - r]: first r local planes come from the LEFT neighbor.
+    send = lax.slice_in_dim(x, nloc - r, nloc, axis=ax)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     recv = lax.ppermute(send, axis_name, perm)
-    body = lax.slice_in_dim(x, s, nloc, axis=ax)
-    return jnp.concatenate([body, recv], axis=ax)
+    body = lax.slice_in_dim(x, 0, nloc - r, axis=ax)
+    return jnp.concatenate([recv, body], axis=ax)

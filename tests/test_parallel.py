@@ -153,3 +153,40 @@ def test_sharded_crossdof_apply_matches(mesh4):
     got = np.asarray(apply_sharded(x, jnp.asarray(diag),
                                    jnp.asarray(em, jnp.float64)))
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_pencil_fft_four_way():
+    """4-way grid sharding of the pencil FFT (deeper all_to_all)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(n_k=2, n_grid=4)
+    rng = np.random.default_rng(7)
+    n = 8
+    x = jnp.asarray(rng.normal(size=(1, 3, n, n, n))
+                    + 1j * rng.normal(size=(1, 3, n, n, n)))
+    fspec = P(None, None, None, None, GRID_AXIS)
+    xspec = P(None, None, GRID_AXIS, None, None)
+    fwd = partial(shard_map, mesh=mesh, in_specs=(fspec,), out_specs=xspec,
+                  check_rep=False)(lambda v: pfft.pencil_fftn(v, GRID_AXIS))
+    inv = partial(shard_map, mesh=mesh, in_specs=(xspec,), out_specs=fspec,
+                  check_rep=False)(lambda v: pfft.pencil_ifftn(v, GRID_AXIS))
+    y = fwd(x)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.fft.fftn(np.asarray(x), axes=(-3, -2, -1)),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(inv(y)), np.asarray(x), atol=1e-10)
+
+
+def test_sharded_roll_matches_roll():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(n_k=1, n_grid=8)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(16, 8)))
+    spec = P(GRID_AXIS, None)
+    for shift in (-2, -1, 1, 2):
+        f = partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                    check_rep=False)(
+            lambda v: pfft.sharded_roll(v, shift, 0, GRID_AXIS, 8))
+        np.testing.assert_allclose(np.asarray(f(x)),
+                                   np.roll(np.asarray(x), shift, axis=0))
