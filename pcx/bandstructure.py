@@ -75,9 +75,7 @@ class KPointSolver:
         diel = self.diel
         opts = self.solver_opts
 
-        # x0 is donated: warm starts pass the PREVIOUS solve's output,
-        # which is never reused afterwards (bandstructure keeps result.x).
-        @partial(jax.jit, donate_argnums=(4,))
+        @partial(jax.jit, static_argnames=())
         def run(d_a, b, inv, shift, x0):
             def h_func(v):
                 return maxwell.ama_bb(v, d_a, b, diel) + shift * v
