@@ -45,3 +45,26 @@ def test_phase_breakdown_smoke():
     for k in ("operator_s", "precond_s", "gram_rr_s", "update_s", "ortho_s",
               "iteration_estimate_s"):
         assert out[k] > 0
+
+
+def test_convergence_rate_regression():
+    from pcx.utils import convergence_rate
+    res = 10.0 * 0.8 ** np.arange(40)
+    m0, m1, m2 = convergence_rate(res, verbose=False)
+    assert abs(m0 - 0.8) < 1e-6 and abs(m1 - 0.8) < 1e-6
+
+
+def test_observed_order():
+    from pcx.validate import observed_order
+    # Second-order model: f(N) = f* + c / N^2.
+    freqs = {n: np.array([1.0 + 4.0 / n**2]) for n in (16, 32, 64)}
+    orders = observed_order(freqs, verbose=False)
+    np.testing.assert_allclose(orders, 2.0, atol=1e-10)
+
+
+def test_timing_contextmanager():
+    from pcx.utils import timing
+    d = {}
+    with timing("step", runtime_dict=d):
+        sum(range(1000))
+    assert d["step"] >= 0
