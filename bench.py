@@ -50,6 +50,10 @@ def main():
                     help="reference GPU seconds for this config")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--sweep", type=int, default=0, metavar="K",
+                    help="measure mean per-k-point time over a warm-started "
+                         "K-point path segment instead of one repeated point "
+                         "(reference protocol: FCC N=120 sweep mean 23.12 s)")
     args = ap.parse_args()
 
     fallback = False
@@ -96,6 +100,36 @@ def main():
     r = solver.solve(alpha, seed=0, validate_result=False)
     print(f"# warmup: status={Status(r.status).name} iters={r.iterations} "
           f"t={r.wall_time:.2f}s platform={platform}", file=sys.stderr)
+
+    if args.sweep:
+        # Warm-started path segment starting at alpha, like the band sweep.
+        from pcx import lattices as lat
+        path = lat.k_path(args.lattice)
+        start = 10  # inside the first segment, away from Gamma
+        times, iters = [], []
+        x_prev = r.x
+        result = r
+        for i in range(args.sweep):
+            a = path[(start + i) % len(path)]
+            result = solver.solve(a, x0=x_prev, validate_result=False)
+            if result.status not in (Status.CONVERGED, Status.FLOOR):
+                print(f"# ERROR at sweep point {i}: "
+                      f"{Status(result.status).name}", file=sys.stderr)
+                sys.exit(1)
+            times.append(result.wall_time)
+            iters.append(result.iterations)
+            x_prev = result.x
+            print(f"# sweep {i}: {result.wall_time:.3f}s, "
+                  f"{result.iterations} iters", file=sys.stderr)
+        value = float(np.mean(times))
+        alpha = path[start]  # for the validation below
+        print(json.dumps({
+            "metric": f"{args.lattice}_n{args.n}_sweep_mean_seconds",
+            "value": round(value, 4),
+            "unit": "s",
+            "vs_baseline": round(args.baseline / value, 3),
+        }))
+        return
 
     times, iters = [], []
     result = None
