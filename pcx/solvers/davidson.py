@@ -177,9 +177,10 @@ def _davidson(h_func: Callable, p_func: Callable, x0: jnp.ndarray, nev: int,
             keep = fill[:, None] * fill[None, :]
             t_re, t_im = rr_mod.gram_f64(vf * fill[:, None].astype(cdtype),
                                          hvf)
-            t_re = (0.5 * (t_re + t_re.T) * keep.astype(jnp.float64)
-                    - jnp.diag(1.0 - fill).astype(jnp.float64))
+            t_re = 0.5 * (t_re + t_re.T) * keep.astype(jnp.float64)
             t_im = 0.5 * (t_im - t_im.T) * keep.astype(jnp.float64)
+            dead_val = jnp.sqrt(jnp.sum(t_re**2) + jnp.sum(t_im**2)) + 1.0
+            t_re = t_re - dead_val * jnp.diag(1.0 - fill).astype(jnp.float64)
             theta_all, u_re, u_im = rr_mod.eigh_f64_embedding(t_re, t_im)
             n_dead = (cap - jnp.sum(fill)).astype(jnp.int32)
             theta = lax.dynamic_slice(theta_all, (n_dead,), (m,))

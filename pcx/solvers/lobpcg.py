@@ -183,6 +183,8 @@ def lobpcg_sep(
         res_nev = jnp.linalg.norm(res[:nev])
         res_his = s.res_his.at[it].set(res_nev)
 
+        first_rec = res_his[1]
+
         # Noise-floor detection: no meaningful best-residual improvement for
         # `floor_patience` iterations => the iterate is at the attainable
         # accuracy of this dtype.  (Reference has no analog: f64 always
@@ -191,12 +193,11 @@ def lobpcg_sep(
         best_res = jnp.where(improved, res_max, s.best_res)
         best_it = jnp.where(improved, it, s.best_it)
         floored = ((floor_patience > 0) & (it - best_it > floor_patience)
-                   & (it > 3))
+                   & (it > 3) & (res_max < first_rec))
 
         is_nan = jnp.isnan(res).any()
         converged = res_max < tol
         # Stagnation / blow-up guard (reference: lobpcg.py:408-415).
-        first_rec = res_his[1]
         stagn = (
             ((it > maxstagniter) & ((res[0] > 1000.0) | (res[0] > first_rec)))
             | ((it > 2 * maxstagniter) & (res[0] > 50.0))
@@ -232,23 +233,17 @@ def lobpcg_sep(
             # The reference iterates on a raw basis and factors the Gram in
             # the RR (orthogonalization.py:140-154); the orthonormal-basis
             # form is what makes complex64 stable on TPU.
+            # W: preconditioned residuals, MGS-orthonormalized against X
+            # and internally, with dependent-column dropping.  masked_mgs
+            # guarantees every surviving column is exactly unit and
+            # orthogonal — spurious below-spectrum Ritz values (the failure
+            # mode of jitter-clamped factorizations on nearly dependent
+            # blocks) are structurally impossible.
             w = p_func(r * amask) * amask
             wf, _ = _col_normalize(flat(w), tiny, axis_name=reduce_axis)
-            wf, _ = rr_mod.project_off(wf, xf, axis_name=reduce_axis)
-            # Drop columns that collapsed into span(X): below the projection
-            # rounding-noise floor ~ sqrt(D)*eps they carry no information and
-            # would inject spurious near-zero Ritz values.
-            rho_w = norms(wf, axis_name=reduce_axis)
-            w_ok = active * (rho_w > noise_floor)
-            wf = wf * w_ok[:, None].astype(cdtype)
-            if use_f64_rr:
-                wf, _ = rr_mod.masked_loewdin(wf, w_ok, jitter,
-                                              passes=ortho_passes,
-                                              axis_name=reduce_axis)
-            else:
-                wf, _ = rr_mod.masked_cholqr(wf, w_ok, jitter,
-                                             passes=ortho_passes,
-                                             axis_name=reduce_axis)
+            wf, _, w_ok = rr_mod.masked_mgs(
+                wf, active, noise_floor, against=(xf,),
+                axis_name=reduce_axis, passes=ortho_passes)
             hw = h_func(wf.reshape(s.x.shape))
             hwf = flat(hw)
 
@@ -257,22 +252,10 @@ def lobpcg_sep(
             pf, hpf = flat(s.p) * pcol, flat(s.hp) * pcol
             pf, pn = _col_normalize(pf, tiny, axis_name=reduce_axis)
             hpf = hpf * (1.0 / jnp.maximum(pn, tiny))[:, None].astype(cdtype)
-            pf, hpf = rr_mod.project_off(pf, xf, hpf, hxf,
-                                         axis_name=reduce_axis)
-            pf, hpf = rr_mod.project_off(pf, wf, hpf, hwf,
-                                         axis_name=reduce_axis)
-            rho_p = norms(pf, axis_name=reduce_axis)
-            p_ok = p_act * (rho_p > noise_floor)
-            pokc = p_ok[:, None].astype(cdtype)
-            pf, hpf = pf * pokc, hpf * pokc
-            if use_f64_rr:
-                pf, hpf = rr_mod.masked_loewdin(pf, p_ok, jitter, hpf,
-                                                passes=ortho_passes,
-                                                axis_name=reduce_axis)
-            else:
-                pf, hpf = rr_mod.masked_cholqr(pf, p_ok, jitter, hpf,
-                                               passes=ortho_passes,
-                                               axis_name=reduce_axis)
+            pf, hpf, p_ok = rr_mod.masked_mgs(
+                pf, p_act, noise_floor, hblock=hpf,
+                against=(xf, wf), h_against=(hxf, hwf),
+                axis_name=reduce_axis, passes=ortho_passes)
 
             basis_mask = jnp.concatenate((ones_m, w_ok, p_ok))
             blocks = (xf, wf, pf)
@@ -309,9 +292,15 @@ def lobpcg_sep(
                 t_re = jnp.block(rows_re)
                 t_im = jnp.block(rows_im)
                 keep64 = keep.astype(jnp.float64)
-                t_re = (0.5 * (t_re + t_re.T) * keep64
-                        - jnp.diag(1.0 - basis_mask).astype(jnp.float64))
+                t_re = 0.5 * (t_re + t_re.T) * keep64
                 t_im = 0.5 * (t_im - t_im.T) * keep64
+                # Dead-coordinate sentinel STRICTLY below any possible Ritz
+                # value (|Ritz| <= ||T||_F), so the physical window never
+                # misaligns even when drift noise makes Ritz values negative
+                # (a fixed -1 sentinel collapsed X once noise crossed it).
+                dead_val = jnp.sqrt(jnp.sum(t_re**2) + jnp.sum(t_im**2)) + 1.0
+                t_re = t_re - dead_val * jnp.diag(1.0 - basis_mask).astype(
+                    jnp.float64)
                 eigh_fn = (rr_mod.eigh_embedding_refined
                            if rr_mode == "fast" else rr_mod.eigh_f64_embedding)
                 theta_all, v_re, v_im = eigh_fn(t_re, t_im)
@@ -322,8 +311,10 @@ def lobpcg_sep(
                 t_mat = jnp.block([
                     [rr_mod.gram(bi, hbj, axis_name=reduce_axis)
                      for hbj in hblocks] for bi in blocks])
-                t_mat = (rr_mod.hermitize(t_mat) * keep
-                         - jnp.diag(1.0 - basis_mask).astype(cdtype))
+                t_mat = rr_mod.hermitize(t_mat) * keep
+                dead_val = jnp.linalg.norm(t_mat) + 1.0
+                t_mat = t_mat - dead_val * jnp.diag(1.0 - basis_mask).astype(
+                    cdtype)
                 theta_all, c_all = jnp.linalg.eigh(t_mat)
             n_dead = (3 * m - jnp.sum(basis_mask)).astype(jnp.int32)
             theta = lax.dynamic_slice(theta_all.real, (n_dead,), (m,))
@@ -516,8 +507,9 @@ def lobpcg_gep(
             dead = (1.0 - basis_mask)
             g = rr_mod.hermitize(rr_mod.gram(flat(s_all), flat(ms_all))) * keep \
                 + jnp.diag(dead).astype(cdtype)
-            gh = rr_mod.hermitize(rr_mod.gram(flat(s_all), flat(hs_all))) * keep \
-                - jnp.diag(dead).astype(cdtype)
+            gh = rr_mod.hermitize(rr_mod.gram(flat(s_all), flat(hs_all))) * keep
+            dead_val = jnp.linalg.norm(gh) + 1.0
+            gh = gh - dead_val * jnp.diag(dead).astype(cdtype)
             theta_all, c_all = rr_mod.eigh_pencil(gh, g)
             n_dead = (3 * m - jnp.sum(basis_mask)).astype(jnp.int32)
             theta = lax.dynamic_slice(theta_all, (n_dead,), (m,)).real

@@ -236,6 +236,67 @@ def masked_loewdin(block: jnp.ndarray, mask: jnp.ndarray, jitter: float,
     return block, hblock
 
 
+def masked_mgs(block: jnp.ndarray, mask: jnp.ndarray, drop_tol: float,
+               hblock: Optional[jnp.ndarray] = None,
+               against=(), h_against=(), axis_name=None, passes: int = 2):
+    """Masked modified Gram-Schmidt with dependent-column DROPPING.
+
+    Orthonormalizes the active rows of ``block`` against the (already
+    orthonormal) row-bases in ``against`` and against each other,
+    sequentially.  A column whose residual norm after projection falls
+    below ``drop_tol`` (columns enter unit-norm, so this is the sine of its
+    angle to the accepted span) is zeroed and masked out.
+
+    This is the structurally safe orthonormalizer for low precision: every
+    surviving column is EXACTLY unit norm and orthogonal to its
+    predecessors, so the Rayleigh-Ritz matrix diagonal is a true Rayleigh
+    quotient and spurious below-spectrum Ritz values cannot appear (the
+    failure mode of jitter-clamped Loewdin/Cholesky on nearly dependent
+    blocks).  ``hblock``/``h_against`` are transformed consistently.
+    Returns (q, hq, new_mask).
+    """
+    m = block.shape[0]
+    cdtype = block.dtype
+    rdtype = jnp.zeros((), cdtype).real.dtype
+    mask = mask.astype(rdtype)
+
+    # Pass 0: block projection off the fixed orthonormal bases.
+    for base, hbase in zip(against, h_against or [None] * len(against)):
+        for _ in range(passes):
+            coeff = gram(base, block, axis_name=axis_name)
+            block = block - mix(coeff, base)
+            if hblock is not None and hbase is not None:
+                hblock = hblock - mix(coeff, hbase)
+
+    # Sequential MGS within the block (fixed shapes: triangular weighting).
+    hb = hblock if hblock is not None else jnp.zeros((m, 0), cdtype)
+    idx = jnp.arange(m)
+
+    def step(i, carry):
+        q, hq, msk = carry
+        col = q[i][None, :]
+        hcol = hq[i][None, :]
+        wsel = (((idx < i).astype(rdtype) * msk)[:, None]).astype(cdtype)
+        for _ in range(passes):
+            # real-split contractions (no complex dot_general on TPU)
+            coeff = gram(q, col, axis_name=axis_name) * wsel   # (m, 1)
+            col = col - mix(coeff, q)
+            hcol = hcol - mix(coeff, hq)
+        nrm2 = jnp.sum((col.conj() * col).real)
+        if axis_name is not None:
+            nrm2 = lax.psum(nrm2, axis_name)
+        nrm = jnp.sqrt(nrm2)
+        ok = msk[i] * (nrm > drop_tol).astype(rdtype)
+        tiny = jnp.asarray(jnp.finfo(rdtype).tiny, rdtype)
+        scale = (ok / jnp.maximum(nrm, tiny)).astype(cdtype)
+        q = q.at[i].set(col[0] * scale)
+        hq = hq.at[i].set(hcol[0] * scale)
+        return q, hq, msk.at[i].set(ok)
+
+    q, hq, mask = lax.fori_loop(0, m, step, (block, hb, mask))
+    return q, (hq if hblock is not None else None), mask
+
+
 def masked_cholqr(block: jnp.ndarray, mask: jnp.ndarray, jitter: float,
                   hblock: Optional[jnp.ndarray] = None, passes: int = 1,
                   axis_name=None):

@@ -68,7 +68,10 @@ def recompute(lambdas_in, x, a_apply, shift: float = 0.0, scal: float = SCAL,
     omega_pnt = np.array([sqrt_robust(v) * scal / (2 * np.pi) for v in lambdas])
     omega_re = np.array([sqrt_robust(v) * scal / (2 * np.pi) for v in lam_re])
 
-    spurious = bool(np.any((omega_pnt - omega_re) > spurious_tol))
+    # Absolute deviation (the reference checks the SIGNED difference,
+    # numerical_experiments.py:152, which misses modes where the recomputed
+    # frequency exceeds the penalized one — observed in single precision).
+    spurious = bool(np.any(np.abs(omega_pnt - omega_re) > spurious_tol))
     report = ValidationReport(omega_pnt, omega_re, res, spurious)
     if verbose:
         print(report.table())
