@@ -125,3 +125,29 @@ def test_nontrivial_lattice_golden_proximity(lattice, ref, tol):
     assert r.status == Status.CONVERGED and not r.report.spurious
     dev = np.abs(r.omega_re[:5] - np.array(ref)).max()
     assert dev < tol, dev
+
+
+@pytest.mark.slow
+def test_single_precision_hard_case_n16():
+    """N=16 sc_curv [pi,0,0] in complex64 — the regression case where
+    jitter-clamped orthonormalization and the fixed -1 dead sentinel
+    collapsed X to ZERO columns with omega errors ~1.  The pinned
+    invariants: no collapse, frequencies near the f64 truth (this N/k is
+    marginal in c64: ~5e-4, seed-sensitive around the 1e-3 gate — the
+    validation gate is what decides acceptance in production).  """
+    from pcx.config import ProblemConfig
+    from pcx import validate
+    from pcx.operators import maxwell
+    r64 = bs.eigen_1p(16, "sc_curv", np.array([np.pi, 0, 0]), nev=10,
+                      verbose=False)
+    s32 = bs.KPointSolver(ProblemConfig(n=16, lattice="sc_curv", nev=10),
+                          dtype=jnp.complex64)
+    r32 = s32.solve(np.array([np.pi, 0, 0]), seed=0, validate_result=False)
+    assert r32.status in (Status.CONVERGED, Status.FLOOR)
+    d_a, _, _, shift = s32.symbols_for(np.array([np.pi, 0, 0]))
+    rep = validate.recompute(r32.lambdas[:10], r32.x[:10],
+                             lambda v: maxwell.ama(v, d_a, s32.diel),
+                             shift=shift, raise_on_spurious=False)
+    assert np.abs(rep.omega_re - r64.omega_re).max() < 5e-3
+    xn = np.linalg.norm(np.asarray(r32.x).reshape(r32.x.shape[0], -1), axis=1)
+    assert xn.min() > 0.9
