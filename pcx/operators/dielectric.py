@@ -205,9 +205,12 @@ def make_crossdof_apply(diag_j, masks, sten, eps3, eps4, eps5, roll_fn=None):
         return 0.5 * (t_apply(masks[row_c] * x, axes, True)
                       + masks[col_c] * t_apply(x, axes, True))
 
-    e3, e4, e5 = eps3, eps4, eps5
-
     def apply(x):
+        # Cast the eps scalars to the input dtype: Python complex scalars
+        # would promote complex64 blocks to complex128 (unsupported on TPU).
+        e3 = jnp.asarray(eps3, x.dtype)
+        e4 = jnp.asarray(eps4, x.dtype)
+        e5 = jnp.asarray(eps5, x.dtype)
         x0, x1, x2 = x[..., 0, :, :, :], x[..., 1, :, :, :], x[..., 2, :, :, :]
         r12, c12, a12 = _PAIR_DEFS["12"]
         r13, c13, a13 = _PAIR_DEFS["13"]
@@ -216,11 +219,11 @@ def make_crossdof_apply(diag_j, masks, sten, eps3, eps4, eps5, roll_fn=None):
               + e3 * m_apply(x1, r12, c12, a12)
               + e4 * m_apply(x2, r13, c13, a13))
         y1 = (diag_j[1] * x1
-              + np.conj(e3) * mt_apply(x0, r12, c12, a12)
+              + jnp.conj(e3) * mt_apply(x0, r12, c12, a12)
               + e5 * m_apply(x2, r23, c23, a23))
         y2 = (diag_j[2] * x2
-              + np.conj(e4) * mt_apply(x0, r13, c13, a13)
-              + np.conj(e5) * mt_apply(x1, r23, c23, a23))
+              + jnp.conj(e4) * mt_apply(x0, r13, c13, a13)
+              + jnp.conj(e5) * mt_apply(x1, r23, c23, a23))
         return jnp.stack((y0, y1, y2), axis=-4)
 
     return apply
