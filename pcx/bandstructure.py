@@ -265,7 +265,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
             indices: Optional[list] = None, gap: int = GAP,
             dtype=jnp.complex128, tol: float = TOL, maxiter: int = MAXITER,
             nev: int = NEV, seed: int = 0, verbose: bool = True,
-            metrics_path: Optional[str] = None) -> list:
+            metrics_path: Optional[str] = None, k_batch: int = 1) -> list:
     """Full Brillouin-zone band sweep with per-k-point JSON checkpointing,
     resume, warm starts, and failure containment.
 
@@ -297,31 +297,43 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     err_index = []
     x_prev = None
     prev_idx = None
-    for i in indices:
-        alpha = alphas[i]
-        # Warm start only along contiguous path segments
-        # (reference: numerical_experiments.py:425-432).
-        x0 = x_prev if (prev_idx is not None and abs(i - prev_idx) <= 1) else None
+    # Batched mode: consecutive index groups solved in one vmapped program
+    # (throughput on one chip; the reference sweeps serially).
+    groups = ([indices[i:i + k_batch] for i in range(0, len(indices), k_batch)]
+              if k_batch > 1 else [[i] for i in indices])
+    for grp in groups:
         try:
-            result = solver.solve(alpha, x0=x0, seed=seed + i, verbose=False)
-            if result.status not in (lob.Status.CONVERGED,
-                                     lob.Status.FLOOR):
-                raise RuntimeError(
-                    f"solver status {lob.Status(result.status).name}")
-            lib.record(i, result.iterations, result.wall_time,
-                       result.omega_re)
-            logger.log_solve(RunLogger.from_result("bandgap_k", cfg,
-                                                   alpha, result))
-            x_prev, prev_idx = result.x, i
-            if verbose:
-                print(f"Gap {i + 1}/{n_k} ({lattice}), "
-                      f"alpha/pi = {np.round(alpha / np.pi, 3)}: "
-                      f"iters = {result.iterations}, "
-                      f"t = {result.wall_time:<6.2f}s")
-        except Exception as e:  # NaN, blowup, spurious, Cholesky failure
-            print(f"{RED}WARNING: Error at k-point {i}: {e}{RESET}")
-            err_index.append(i)
-            lib.record(i, -1, -1, None)
+            if len(grp) > 1:
+                results = solver.solve_batch([alphas[i] for i in grp],
+                                             seed=seed + grp[0])
+            else:
+                i = grp[0]
+                x0 = (x_prev if (prev_idx is not None
+                                 and abs(i - prev_idx) <= 1) else None)
+                results = [solver.solve(alphas[i], x0=x0, seed=seed + i,
+                                        verbose=False)]
+            for i, result in zip(grp, results):
+                if result.status not in (lob.Status.CONVERGED,
+                                         lob.Status.FLOOR):
+                    raise RuntimeError(
+                        f"solver status {lob.Status(result.status).name}")
+                if result.report is not None and result.report.spurious:
+                    raise RuntimeError("spurious eigenvalues")
+                lib.record(i, result.iterations, result.wall_time,
+                           result.omega_re)
+                logger.log_solve(RunLogger.from_result("bandgap_k", cfg,
+                                                       alphas[i], result))
+                x_prev, prev_idx = result.x, i
+                if verbose:
+                    print(f"Gap {i + 1}/{n_k} ({lattice}), "
+                          f"alpha/pi = {np.round(alphas[i] / np.pi, 3)}: "
+                          f"iters = {result.iterations}, "
+                          f"t = {result.wall_time:<6.2f}s")
+        except Exception as e:  # NaN, blowup, spurious, RR failure
+            print(f"{RED}WARNING: Error at k-points {grp}: {e}{RESET}")
+            for i in grp:
+                err_index.append(i)
+                lib.record(i, -1, -1, None)
             x_prev, prev_idx = None, None
 
     if err_index:

@@ -61,6 +61,23 @@ def test_bandgap_sweep_and_resume(tmp_path):
     assert np.isfinite(f).all() and (f >= 0).all()
 
 
+@pytest.mark.slow
+def test_bandgap_k_batch_matches_serial(tmp_path):
+    """k_batch>1 sweeps through the vmapped path and writes the same
+    library (to tolerance) as the serial sweep."""
+    kw = dict(n=8, lattice="sc_flat1", diel_type="chiral", nev=4, gap=2,
+              verbose=False, indices=list(range(4)))
+    err = bs.bandgap(output_dir=str(tmp_path / "serial"), **kw)
+    assert err == []
+    err = bs.bandgap(output_dir=str(tmp_path / "batched"), k_batch=2, **kw)
+    assert err == []
+    f_s = np.array(BandLibrary(str(tmp_path / "serial/chiral/bandgap_sc_flat1.json"),
+                               "sc_flat1", 8, 8, 4).frequencies[:4])
+    f_b = np.array(BandLibrary(str(tmp_path / "batched/chiral/bandgap_sc_flat1.json"),
+                               "sc_flat1", 8, 8, 4).frequencies[:4])
+    np.testing.assert_allclose(f_b, f_s, atol=2e-5)
+
+
 def test_solve_batch_matches_serial():
     """Vmapped multi-k batch solve reproduces serial per-k results."""
     import jax.numpy as jnp
