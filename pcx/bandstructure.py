@@ -29,7 +29,7 @@ from pcx.operators import maxwell
 from pcx.operators import symbols as sym
 from pcx.operators.blocks import h_block
 from pcx.solvers import lobpcg as lob
-from pcx.utils import GREEN, RED, RESET, YELLOW
+from pcx.utils import GREEN, RED, RESET, YELLOW, real_dtype
 
 
 @dataclasses.dataclass
@@ -70,13 +70,16 @@ class KPointSolver:
 
     @lru_cache(maxsize=8)
     def _jitted(self, m: int):
+        """The dielectric op is a jit ARGUMENT (a registered pytree), not a
+        closure constant: constants would bloat the executable by the full
+        mask arrays and need a device-to-host copy at lowering that the axon
+        TPU backend cannot perform."""
         nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
                                       self.locking)
-        diel = self.diel
         opts = self.solver_opts
 
-        @partial(jax.jit, static_argnames=())
-        def run(d_a, b, inv, shift, x0):
+        @jax.jit
+        def run(d_a, b, inv, shift, x0, diel):
             def h_func(v):
                 return maxwell.ama_bb(v, d_a, b, diel) + shift * v
 
@@ -87,7 +90,7 @@ class KPointSolver:
                                   maxiter=maxiter, locking=locking, **opts)
 
         @jax.jit
-        def a_apply(d_a, x):
+        def a_apply(d_a, diel, x):
             return maxwell.ama(x, d_a, diel)
 
         return run, a_apply
@@ -108,7 +111,7 @@ class KPointSolver:
         b_raw = sym.penalty_symbol(d_a)
         inv = sym.inverse_penalized(b_raw, pnt, shift=shift)
         b = sym.HermSymbol(pnt * b_raw.diag, pnt * b_raw.sdiag)
-        rdt = jnp.zeros((), dtype=self.dtype).real.dtype
+        rdt = real_dtype(self.dtype)
         return (
             jnp.asarray(d_a, dtype=self.dtype),
             sym.HermSymbol(jnp.asarray(b.diag, rdt),
@@ -130,16 +133,17 @@ class KPointSolver:
         sweeps k-points serially, numerical_experiments.py:418.)"""
         nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
                                       self.locking)
-        diel = self.diel
         opts = self.solver_opts
 
-        def one(d_a, b_d, b_s, i_d, i_s, shift, x0):
+        def one(d_a, b_d, b_s, i_d, i_s, shift, x0, diel):
             h = lambda v: maxwell.ama_bb(v, d_a, (b_d, b_s), diel) + shift * v
             p = lambda v: h_block(v, (i_d, i_s))
             return lob.lobpcg_sep(h, p, x0, nev, tol=tol, maxiter=maxiter,
                                   locking=locking, **opts)
 
-        return jax.jit(jax.vmap(one))
+        # The dielectric op is shared across the batch (in_axes=None) and is
+        # a jit argument, not a closure constant (see _jitted).
+        return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
 
     def solve_batch(self, alphas, x0s=None, seed: int = 0,
                     validate_result: bool = True):
@@ -167,7 +171,7 @@ class KPointSolver:
 
         run = self._jitted_batch(m, bsize)
         t0 = time.time()
-        res = run(d_a, b_d, b_s, i_d, i_s, shifts, x0s)
+        res = run(d_a, b_d, b_s, i_d, i_s, shifts, x0s, self.diel)
         res.lambdas.block_until_ready()
         wall = time.time() - t0
 
@@ -182,8 +186,8 @@ class KPointSolver:
                           lob.Status.MAXITER) and validate_result:
                 report = validate.recompute(
                     lambdas[: cfg.nev], res.x[i][: cfg.nev],
-                    lambda v: a_apply(d_a[i], v), shift=float(packs[i][3]),
-                    scal=cfg.scal)
+                    lambda v: a_apply(d_a[i], self.diel, v),
+                    shift=float(packs[i][3]), scal=cfg.scal)
                 omega, omega_re = report.omega_pnt, report.omega_re
             out.append(EigenResult(
                 omega=omega, omega_re=omega_re, lambdas=lambdas,
@@ -206,7 +210,7 @@ class KPointSolver:
         run, a_apply = self._jitted(m)
 
         t0 = time.time()
-        res = run(d_a, b, inv, jnp.asarray(shift, self.dtype), x0)
+        res = run(d_a, b, inv, jnp.asarray(shift, self.dtype), x0, self.diel)
         res.lambdas.block_until_ready()
         wall = time.time() - t0
 
@@ -219,8 +223,8 @@ class KPointSolver:
             if validate_result:
                 report = validate.recompute(
                     lambdas[: cfg.nev], res.x[: cfg.nev],
-                    lambda v: a_apply(d_a, v), shift=shift, scal=cfg.scal,
-                    verbose=verbose)
+                    lambda v: a_apply(d_a, self.diel, v), shift=shift,
+                    scal=cfg.scal, verbose=verbose)
                 omega, omega_re = report.omega_pnt, report.omega_re
             else:
                 from pcx.utils import sqrt_robust

@@ -24,6 +24,7 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from pcx import geometry
@@ -36,23 +37,45 @@ from pcx.config import (
     TYPE_PSEUDO_TRIVIAL,
 )
 from pcx.operators.blocks import h_block
+from pcx.utils import real_dtype
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class DielectricOp:
     """A jit-traceable inverse-dielectric operator.
+
+    Registered as a JAX pytree: ``params`` (the mask/coefficient arrays) are
+    the leaves, so an op passes straight through ``jax.jit`` / ``jax.vmap``
+    as an ARGUMENT.  Never close a jitted function over an op: closure
+    capture embeds the arrays as program constants, which (a) bloats the
+    executable by the full mask size and (b) requires a device-to-host copy
+    at lowering that the axon TPU backend cannot perform (UNIMPLEMENTED).
 
     ``diag`` / ``offdiag_abs_row_sums``: optional structural accessors used
     by the SDD / HPD censuses (reference: check_sdd, paper_2_test.py:259-297)
     — matrix-free equivalents of the reference's CSR row scans.
     """
     name: str
-    apply: Callable[[jnp.ndarray], jnp.ndarray]
+    apply_fn: Callable                  # (params, x) -> y, params-explicit
+    params: tuple = ()
     diag: Optional[Callable[[], jnp.ndarray]] = None
     offdiag_abs_row_sums: Optional[Callable[[], jnp.ndarray]] = None
 
     def __call__(self, x):
-        return self.apply(x)
+        return self.apply_fn(self.params, x)
+
+    def apply(self, x):
+        return self.apply_fn(self.params, x)
+
+    def tree_flatten(self):
+        return (self.params,), (self.name, self.apply_fn, self.diag,
+                                self.offdiag_abs_row_sums)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        name, apply_fn, diag, offdiag = aux
+        return cls(name, apply_fn, children[0], diag, offdiag)
 
     def sdd_violations(self) -> int:
         """Rows where strict diagonal dominance fails."""
@@ -65,14 +88,14 @@ class DielectricOp:
 
 def identity_op() -> DielectricOp:
     """Vacuum (eps = 1) — used by operator-only tests."""
-    return DielectricOp("identity", lambda x: x)
+    return DielectricOp("identity", lambda p, x: x)
 
 
 def scalar_field_op(inv_eps: jnp.ndarray) -> DielectricOp:
     """Spatially varying scalar eps^{-1} on a (N,N,N) or (3,N,N,N) grid
     (covers the smooth-eps ablation, paper_2/paper_2_test.py:146-190)."""
-    inv_eps = jnp.asarray(inv_eps)
-    return DielectricOp("scalar_field", lambda x: x * inv_eps)
+    inv_eps = np.asarray(inv_eps)
+    return DielectricOp("scalar_field", lambda p, x: x * p[0], (inv_eps,))
 
 
 def smooth_eps_op(n: int, eps_func: Callable = None,
@@ -87,7 +110,7 @@ def smooth_eps_op(n: int, eps_func: Callable = None,
     for c in range(3):
         x, y, z = geometry.edge_coords(n, c)
         inv[c] = 1.0 / np.broadcast_to(eps_func(x, y, z), (n, n, n))
-    return scalar_field_op(jnp.asarray(inv, dtype=dtype))
+    return scalar_field_op(inv.astype(dtype))
 
 
 def chiral_op(n: int, lattice: Optional[str], eps: float = 0.0,
@@ -101,9 +124,10 @@ def chiral_op(n: int, lattice: Optional[str], eps: float = 0.0,
     if edge_mask is None:
         edge_mask = geometry.edge_mask(n, lattice)
     # Multiply is cheaper than select+divide and fuses as one VPU op:
-    # scale = 1/eps at material DoFs, 1 elsewhere.
-    scale = jnp.asarray(np.where(edge_mask, 1.0 / eps, 1.0), dtype=dtype)
-    return DielectricOp("chiral", lambda x: x * scale)
+    # scale = 1/eps at material DoFs, 1 elsewhere.  Params stay NUMPY: the
+    # solver places them per backend (real-boundary encoding on axon TPU).
+    scale = np.where(edge_mask, 1.0 / eps, 1.0).astype(dtype)
+    return DielectricOp("chiral", lambda p, x: x * p[0], (scale,))
 
 
 def _eps_components(lattice: str, eps_opt: int, eps_mat):
@@ -135,16 +159,17 @@ def pseudochiral_trivial_op(n: int, lattice: Optional[str], eps_opt: int = 0,
         diag[c] = np.where(edge_mask[c], eps_loc[c].real, 1.0)
     sdiag = np.stack([np.where(vol_mask, eps_loc[3 + c], 0.0) for c in range(3)])
 
-    real_dtype = jnp.zeros((), dtype=dtype).real.dtype
-    diag_j = jnp.asarray(diag, dtype=real_dtype)
-    sdiag_j = jnp.asarray(sdiag, dtype=dtype)
+    rdt = real_dtype(dtype)
+    diag_j = diag.astype(rdt)
+    sdiag_j = sdiag.astype(dtype)
 
     def offdiag_abs():
         a = jnp.abs(sdiag_j)
         return jnp.stack((a[0] + a[1], a[0] + a[2], a[1] + a[2]))
 
     return DielectricOp("pseudochiral_trivial",
-                        lambda x: h_block(x, (diag_j, sdiag_j)),
+                        lambda p, x: h_block(x, (p[0], p[1])),
+                        (diag_j, sdiag_j),
                         diag=lambda: diag_j,
                         offdiag_abs_row_sums=offdiag_abs)
 
@@ -185,27 +210,30 @@ _PAIR_DEFS = {
 }
 
 
-def make_crossdof_apply(diag_j, masks, sten, eps3, eps4, eps5, roll_fn=None):
-    """Cross-DoF eps^{-1} apply from (diag, per-component masks, averaging
-    stencil, off-diagonal eps entries).  Shared by the single-device op and
-    the grid-sharded path (which passes a halo-exchange roll_fn)."""
+def make_crossdof_apply(sten, eps3, eps4, eps5, roll_fn=None):
+    """Cross-DoF eps^{-1} apply from (averaging stencil, off-diagonal eps
+    entries); the spatial arrays come in as ``params = (diag, masks)``.
+    Shared by the single-device op and the grid-sharded path (which passes a
+    halo-exchange roll_fn)."""
 
     def t_apply(x, axes, transpose_all):
         for axis, tr in axes:
             x = _avg(x, sten, axis, tr != transpose_all, roll_fn)
         return x
 
-    def m_apply(x, row_c, col_c, axes):
-        # (R_row T + T R_col)/2 applied to x.
-        return 0.5 * (masks[row_c] * t_apply(x, axes, False)
-                      + t_apply(masks[col_c] * x, axes, False))
+    def apply(params, x):
+        diag_j, masks = params
 
-    def mt_apply(x, row_c, col_c, axes):
-        # transpose: (T^T R_row + R_col T^T)/2 applied to x.
-        return 0.5 * (t_apply(masks[row_c] * x, axes, True)
-                      + masks[col_c] * t_apply(x, axes, True))
+        def m_apply(x, row_c, col_c, axes):
+            # (R_row T + T R_col)/2 applied to x.
+            return 0.5 * (masks[row_c] * t_apply(x, axes, False)
+                          + t_apply(masks[col_c] * x, axes, False))
 
-    def apply(x):
+        def mt_apply(x, row_c, col_c, axes):
+            # transpose: (T^T R_row + R_col T^T)/2 applied to x.
+            return 0.5 * (t_apply(masks[row_c] * x, axes, True)
+                          + masks[col_c] * t_apply(x, axes, True))
+
         # Cast the eps scalars to the input dtype: Python complex scalars
         # would promote complex64 blocks to complex128 (unsupported on TPU).
         e3 = jnp.asarray(eps3, x.dtype)
@@ -251,15 +279,15 @@ def pseudochiral_crossdof_op(n: int, lattice: Optional[str], eps_opt: int = 0,
         edge_mask = geometry.edge_mask(n, lattice)
     sten = tuple(float(w) for w in stencils.mfd_stencil(k, 0))
 
-    real_dtype = jnp.zeros((), dtype=dtype).real.dtype
+    rdt = real_dtype(dtype)
     diag = np.ones((3, n, n, n), dtype=np.float64)
     for c in range(3):
         diag[c] = np.where(edge_mask[c], eps_loc[c].real, 1.0)
-    diag_j = jnp.asarray(diag, dtype=real_dtype)
-    masks = jnp.asarray(edge_mask, dtype=real_dtype)
+    diag_j = diag.astype(rdt)
+    masks = np.asarray(edge_mask, dtype=rdt)
     e3, e4, e5 = (complex(eps_loc[3]), complex(eps_loc[4]), complex(eps_loc[5]))
 
-    apply = make_crossdof_apply(diag_j, masks, sten, e3, e4, e5)
+    apply = make_crossdof_apply(sten, e3, e4, e5)
     pair_defs = _PAIR_DEFS
 
     def offdiag_abs():
@@ -293,7 +321,7 @@ def pseudochiral_crossdof_op(n: int, lattice: Optional[str], eps_opt: int = 0,
               + abs(e5) * mt_rowsum(r23, c23, a23))
         return jnp.stack((s0, s1, s2))
 
-    return DielectricOp("pseudochiral_crossdof", apply,
+    return DielectricOp("pseudochiral_crossdof", apply, (diag_j, masks),
                         diag=lambda: diag_j,
                         offdiag_abs_row_sums=offdiag_abs)
 
@@ -312,9 +340,8 @@ def build(diel_type: str, n: int, lattice: Optional[str], eps_opt: int = 0,
     if diel_type is None or diel_type == "identity":
         return identity_op()
     if diel_type == TYPE_CHIRAL:
-        real_dtype = jnp.zeros((), dtype=dtype).real.dtype
         return chiral_op(n, lattice, eps=float(eps_opt) if eps_opt else 0.0,
-                         dtype=real_dtype)
+                         dtype=real_dtype(dtype))
     if diel_type == TYPE_PSEUDO_TRIVIAL:
         return pseudochiral_trivial_op(n, lattice, eps_opt, eps_mat, dtype=dtype)
     if diel_type == TYPE_PSEUDO_CROSSDOF:

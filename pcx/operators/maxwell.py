@@ -28,6 +28,7 @@ from pcx.config import ProblemConfig, SCAL, set_relaxation
 from pcx.operators import symbols as sym
 from pcx.operators import dielectric as diel_mod
 from pcx.operators.blocks import a_block, h_block
+from pcx.utils import real_dtype
 
 _SPATIAL_AXES = (-3, -2, -1)
 
@@ -110,12 +111,12 @@ def assemble_symbols(n: int, k: int, ct: np.ndarray, alpha, pnt: float,
     inv = sym.inverse_penalized(b_raw, pnt, shift=shift)
     b = sym.HermSymbol(pnt * b_raw.diag, pnt * b_raw.sdiag)
 
-    real_dtype = jnp.zeros((), dtype=dtype).real.dtype
+    rdt = real_dtype(dtype)
     return (
         jnp.asarray(d_a, dtype=dtype),
-        sym.HermSymbol(jnp.asarray(b.diag, dtype=real_dtype),
+        sym.HermSymbol(jnp.asarray(b.diag, dtype=rdt),
                        jnp.asarray(b.sdiag, dtype=dtype)),
-        sym.HermSymbol(jnp.asarray(inv.diag, dtype=real_dtype),
+        sym.HermSymbol(jnp.asarray(inv.diag, dtype=rdt),
                        jnp.asarray(inv.sdiag, dtype=dtype)),
     )
 
@@ -198,10 +199,10 @@ def plane_wave_block(d_a: np.ndarray, m: int, dtype=jnp.complex128,
 def random_block(key, n: int, m: int, dtype=jnp.complex128) -> jnp.ndarray:
     """Random initial block, shape (m, 3, N, N, N)
     (reference: numerical_experiments.py:66 uses rand + 1j*rand)."""
-    real_dtype = jnp.zeros((), dtype=dtype).real.dtype
+    rdt = real_dtype(dtype)
     k1, k2 = jax.random.split(key)
     shape = (m, 3, n, n, n)
     # lax.complex keeps the width (f32 -> c64): TPU has no complex128.
     return jax.lax.complex(
-        jax.random.uniform(k1, shape, dtype=real_dtype),
-        jax.random.uniform(k2, shape, dtype=real_dtype)).astype(dtype)
+        jax.random.uniform(k1, shape, dtype=rdt),
+        jax.random.uniform(k2, shape, dtype=rdt)).astype(dtype)

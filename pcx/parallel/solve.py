@@ -51,7 +51,8 @@ def make_sharded_crossdof(diag, masks, sten, eps3, eps4, eps5,
             return sharded_roll(v, shift, axis, axis_name, n_shards)
         return jnp.roll(v, shift, axis=axis)
 
-    return make_crossdof_apply(diag, masks, sten, eps3, eps4, eps5, roll_fn)
+    apply = make_crossdof_apply(sten, eps3, eps4, eps5, roll_fn)
+    return lambda x: apply((diag, masks), x)
 
 
 def sharded_ama_bb(x, d_a, b, diel_apply, shift, axis_name=GRID_AXIS):

@@ -29,7 +29,7 @@ from jax import lax
 
 from pcx.config import MAXITER, TOL
 from pcx.solvers import rayleigh_ritz as rr_mod
-from pcx.utils import norms
+from pcx.utils import norms, real_dtype
 
 
 class Status(enum.IntEnum):
@@ -101,7 +101,7 @@ def lobpcg_sep(
     """
     m = x0.shape[0]
     cdtype = x0.dtype
-    rdtype = jnp.zeros((), dtype=cdtype).real.dtype
+    rdtype = real_dtype(cdtype)
     tiny = float(jnp.finfo(rdtype).tiny ** 0.5)
     jitter = 100.0 * float(jnp.finfo(rdtype).eps)
     dim = 1
@@ -430,7 +430,7 @@ def lobpcg_gep(
     """
     m = x0.shape[0]
     cdtype = x0.dtype
-    rdtype = jnp.zeros((), dtype=cdtype).real.dtype
+    rdtype = real_dtype(cdtype)
     tiny = float(jnp.finfo(rdtype).tiny ** 0.5)
     bshape = (-1,) + (1,) * (x0.ndim - 1)
 
@@ -572,7 +572,7 @@ def lobpcg_default(a, nev: int = 20, rlx: int = 4, prec=None,
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
     dt = a.dtype if not isinstance(a, tuple) else jnp.complex128
-    rdt = jnp.zeros((), dtype=dt).real.dtype
+    rdt = real_dtype(dt)
     x0 = jax.lax.complex(
         jax.random.uniform(k1, (nev + rlx, n), dtype=rdt),
         jax.random.uniform(k2, (nev + rlx, n), dtype=rdt)).astype(

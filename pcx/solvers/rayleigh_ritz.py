@@ -19,6 +19,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from pcx.utils import real_dtype
 from jax import lax
 
 
@@ -222,7 +224,7 @@ def masked_loewdin(block: jnp.ndarray, mask: jnp.ndarray, jitter: float,
     keep = mask[:, None] * mask[None, :]
     dead64 = jnp.diag(1.0 - mask).astype(jnp.float64)
     keep64 = keep.astype(jnp.float64)
-    rdtype = jnp.zeros((), dtype=block.dtype).real.dtype
+    rdtype = real_dtype(block.dtype)
     for _ in range(passes):
         g_re, g_im = gram_f64(block, block, axis_name=axis_name)
         g_re = 0.5 * (g_re + g_re.T) * keep64 + dead64

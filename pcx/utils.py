@@ -25,6 +25,16 @@ WHITE = "\033[37m"
 RESET = "\033[0m"
 
 
+def real_dtype(dtype):
+    """Real counterpart of a (possibly complex) dtype, computed HOST-side.
+
+    Never use ``jnp.zeros((), dtype).real.dtype`` for this — with no tracer
+    inputs it executes EAGERLY on the device even inside a traced function,
+    and the axon TPU backend cannot run an eager complex creation
+    (UNIMPLEMENTED poisons the process)."""
+    return np.zeros(0, dtype=np.dtype(dtype)).real.dtype
+
+
 def sqrt_robust(x: float) -> float:
     """Clamp tiny negatives to 0 before sqrt
     (reference: environment.py:59, numerical_experiments.py:135-140)."""
