@@ -145,9 +145,10 @@ def main():
               f"{result.iterations} iters, status "
               f"{Status(result.status).name}", file=sys.stderr)
 
-    # Validate the last solve (spurious-eigenvalue gate).
-    rep_val = solver.solve(alpha, x0=result.x, seed=99, validate_result=True)
-    dev = float(np.abs(rep_val.omega - rep_val.omega_re).max())
+    # Validate the last solve (spurious-eigenvalue gate) — stats program
+    # only, no re-solve.
+    rep_val = solver.validate_solution(alpha, result)
+    dev = float(np.abs(rep_val.omega_pnt - rep_val.omega_re).max())
     print(f"# validation: max |omega - omega_re| = {dev:.2e} "
           f"(gate 1e-3): omega={np.round(rep_val.omega_re, 5)}",
           file=sys.stderr)

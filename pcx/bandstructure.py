@@ -20,16 +20,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pcx import lattices, validate
+from pcx import boundary, lattices, validate
 from pcx.config import (GAP, MAXITER, NEV, TOL, ProblemConfig, SCAL,
                         block_width, set_relaxation)
 from pcx.io import BandLibrary
 from pcx.operators import dielectric as diel_mod
+from pcx.operators import dft as dft_mod
 from pcx.operators import maxwell
 from pcx.operators import symbols as sym
 from pcx.operators.blocks import h_block
 from pcx.solvers import lobpcg as lob
-from pcx.utils import GREEN, RED, RESET, YELLOW, real_dtype
+from pcx.utils import GREEN, RED, RESET, YELLOW, dots, norms, real_dtype
 
 
 @dataclasses.dataclass
@@ -51,18 +52,35 @@ class KPointSolver:
                  tol: float = TOL, maxiter: int = MAXITER,
                  solver: str = "softlock",
                  diel: Optional[diel_mod.DielectricOp] = None,
-                 solver_opts: Optional[dict] = None):
+                 solver_opts: Optional[dict] = None,
+                 real_boundary: Optional[bool] = None,
+                 fft_mode: str = "auto"):
         self.cfg = cfg
         self.dtype = dtype
         self.tol = tol
         self.maxiter = maxiter
         self.solver_opts = dict(solver_opts or {})
         self.locking = solver != "nolock"
-        self.diel = diel if diel is not None else diel_mod.build(
+        self.rdt = real_dtype(dtype)
+        # Real-boundary mode: complex data crosses every jit boundary as
+        # (..., 2) real arrays (the axon TPU backend cannot transfer complex
+        # buffers; complex arithmetic INSIDE programs is fine).  Auto-on for
+        # any non-CPU backend.
+        self.rb = (real_boundary if real_boundary is not None
+                   else jax.default_backend() != "cpu")
+        diel_op = diel if diel is not None else diel_mod.build(
             cfg.diel_type, cfg.n, cfg.lattice, eps_opt=cfg.eps_opt,
             k=cfg.k, dtype=dtype)
+        self.diel = self._place(diel_op)
         self.ct = (lattices.ct_matrix(cfg.lattice) if cfg.lattice
                    else np.eye(3))
+        self._sym_cache = {}
+        # FFT path: builtin pocketfft on CPU; full-precision MXU matmul DFT
+        # on TPU (the builtin TPU FFT's reduced-precision lowering raises
+        # the c64 residual floor ~100x and breeds phantom Ritz values).
+        use_matmul = fft_mode == "matmul" or (fft_mode == "auto" and self.rb)
+        self.dft = (self._place(dft_mod.dft_mats(cfg.n))
+                    if use_matmul else None)
         # k-independent symbol parts on the UNIT cell, built once (reference
         # computes d_fft, di_fft once per sweep, num_exp.py:352); the lattice
         # constant enters as a single 1/scal factor on the whole curl symbol.
@@ -78,10 +96,9 @@ class KPointSolver:
                                       self.locking)
         opts = self.solver_opts
 
-        @jax.jit
-        def run(d_a, b, inv, shift, x0, diel):
+        def run_core(d_a, b, inv, shift, x0, diel, dft):
             def h_func(v):
-                return maxwell.ama_bb(v, d_a, b, diel) + shift * v
+                return maxwell.ama_bb(v, d_a, b, diel, dft=dft) + shift * v
 
             def p_func(v):
                 return h_block(v, inv)
@@ -89,14 +106,51 @@ class KPointSolver:
             return lob.lobpcg_sep(h_func, p_func, x0, nev, tol=tol,
                                   maxiter=maxiter, locking=locking, **opts)
 
-        @jax.jit
-        def a_apply(d_a, diel, x):
-            return maxwell.ama(x, d_a, diel)
+        def stats_core(d_a, diel, x, lambdas, dft):
+            """Validation statistics of the leading nev modes against the
+            UNPENALIZED operator: Rayleigh quotients + residual norms
+            (feeds validate.recompute with no eager complex op)."""
+            xs = x[:nev]
+            ax = maxwell.ama(xs, d_a, diel, dft=dft)
+            lam_re = (dots(xs, ax) / dots(xs, xs)).real
+            bl = lambdas[:nev].astype(lam_re.dtype).reshape(
+                (-1,) + (1,) * (xs.ndim - 1))
+            r = ax - bl * xs
+            return lam_re, norms(r)
 
-        return run, a_apply
+        if self.rb:
+            run = jax.jit(boundary.real_boundary(run_core))
+            stats = jax.jit(boundary.real_boundary(stats_core))
+        else:
+            run, stats = jax.jit(run_core), jax.jit(stats_core)
+        return run, stats
 
-    def symbols_for(self, alpha):
-        """k-dependent symbols for a dimensionless BZ wave vector alpha.
+    def _place(self, tree):
+        """Move a (possibly complex) host pytree to the device in the
+        backend's boundary format: real-boundary encoded (CArr of (..., 2)
+        reals) when self.rb, plain complex arrays otherwise."""
+        rdt = self.rdt
+        if self.rb:
+            tree = boundary.encode(tree, rdt=rdt)
+
+            def put(x):
+                if isinstance(x, boundary.CArr):
+                    return boundary.CArr(jax.device_put(x.ri))
+                if isinstance(x, (np.ndarray, np.generic)):
+                    return jax.device_put(np.asarray(x, rdt))
+                return x
+            return jax.tree_util.tree_map(
+                put, tree, is_leaf=lambda l: isinstance(l, boundary.CArr))
+
+        def put(x):
+            if isinstance(x, (np.ndarray, np.generic)):
+                return jnp.asarray(
+                    x, self.dtype if np.iscomplexobj(x) else rdt)
+            return x
+        return jax.tree_util.tree_map(put, tree)
+
+    def _symbols_np(self, alpha):
+        """Host-side (numpy, full precision) symbol build for one k-point.
 
         Clean scaling semantics (identical to the reference at SCAL=1,
         numerical_experiments.py:55-63, consistent at any scal): the curl
@@ -111,19 +165,47 @@ class KPointSolver:
         b_raw = sym.penalty_symbol(d_a)
         inv = sym.inverse_penalized(b_raw, pnt, shift=shift)
         b = sym.HermSymbol(pnt * b_raw.diag, pnt * b_raw.sdiag)
-        rdt = real_dtype(self.dtype)
-        return (
-            jnp.asarray(d_a, dtype=self.dtype),
-            sym.HermSymbol(jnp.asarray(b.diag, rdt),
-                           jnp.asarray(b.sdiag, self.dtype)),
-            sym.HermSymbol(jnp.asarray(inv.diag, rdt),
-                           jnp.asarray(inv.sdiag, self.dtype)),
-            float(shift),
-        )
+        return d_a, b, inv, float(shift)
+
+    def symbols_for(self, alpha):
+        """Device-placed k-dependent symbols (boundary format of the mode).
+
+        The last few k-points are cached on device: repeated solves at one
+        alpha (benchmarks, retries, validation) must not re-upload ~140 MB
+        of symbols through the slow host link per call."""
+        key = tuple(np.asarray(alpha, dtype=float).tolist())
+        hit = self._sym_cache.get(key)
+        if hit is not None:
+            return hit
+        d_a, b, inv, shift = self._symbols_np(alpha)
+        d_a, b, inv = self._place((d_a, b, inv))
+        pack = (d_a, b, inv, shift)
+        self._sym_cache[key] = pack
+        while len(self._sym_cache) > 2:
+            self._sym_cache.pop(next(iter(self._sym_cache)))
+        return pack
 
     def block_width(self, alpha) -> int:
         (_, rlx), _ = set_relaxation(alpha)
         return block_width(self.cfg.nev, rlx)
+
+    @lru_cache(maxsize=8)
+    def _x0gen(self, m: int):
+        """Jitted random-block generator (device-side RNG; in real-boundary
+        mode the block leaves the program as (..., 2) reals)."""
+        n, dt = self.cfg.n, self.dtype
+        gen = lambda key: maxwell.random_block(key, n, m, dt)
+        return jax.jit(boundary.real_boundary(gen) if self.rb else gen)
+
+    def _fit(self, x, m: int, seed: int):
+        """Warm-start width adaptation: truncate or pad with random columns
+        (reference: numerical_experiments.py:425-432)."""
+        if x.shape[0] >= m:
+            return x[:m]
+        extra = self._x0gen(m - x.shape[0])(jax.random.PRNGKey(seed + 1))
+        if isinstance(x, boundary.CArr):
+            return boundary.CArr(jnp.concatenate((x.ri, extra.ri), axis=0))
+        return jnp.concatenate((x, extra), axis=0)
 
     @lru_cache(maxsize=4)
     def _jitted_batch(self, m: int, bsize: int):
@@ -135,15 +217,16 @@ class KPointSolver:
                                       self.locking)
         opts = self.solver_opts
 
-        def one(d_a, b_d, b_s, i_d, i_s, shift, x0, diel):
-            h = lambda v: maxwell.ama_bb(v, d_a, (b_d, b_s), diel) + shift * v
-            p = lambda v: h_block(v, (i_d, i_s))
+        def one(d_a, b, inv, shift, x0, diel, dft):
+            h = lambda v: maxwell.ama_bb(v, d_a, b, diel, dft=dft) + shift * v
+            p = lambda v: h_block(v, inv)
             return lob.lobpcg_sep(h, p, x0, nev, tol=tol, maxiter=maxiter,
                                   locking=locking, **opts)
 
         # The dielectric op is shared across the batch (in_axes=None) and is
         # a jit argument, not a closure constant (see _jitted).
-        return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+        fn = boundary.real_boundary(one) if self.rb else one
+        return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, None, None)))
 
     def solve_batch(self, alphas, x0s=None, seed: int = 0,
                     validate_result: bool = True):
@@ -157,26 +240,31 @@ class KPointSolver:
             raise ValueError(f"batch mixes block widths {ms}")
         m = ms.pop()
         bsize = len(alphas)
-        packs = [self.symbols_for(a) for a in alphas]
-        d_a = jnp.stack([p[0] for p in packs])
-        b_d = jnp.stack([p[1].diag for p in packs])
-        b_s = jnp.stack([p[1].sdiag for p in packs])
-        i_d = jnp.stack([p[2].diag for p in packs])
-        i_s = jnp.stack([p[2].sdiag for p in packs])
-        shifts = jnp.asarray([p[3] for p in packs], self.dtype)
+        packs = [self._symbols_np(a) for a in alphas]
+        d_a_np = np.stack([p[0] for p in packs])
+        b_np = sym.HermSymbol(np.stack([p[1].diag for p in packs]),
+                              np.stack([p[1].sdiag for p in packs]))
+        inv_np = sym.HermSymbol(np.stack([p[2].diag for p in packs]),
+                                np.stack([p[2].sdiag for p in packs]))
+        d_a, b, inv = self._place((d_a_np, b_np, inv_np))
+        shifts = jnp.asarray(
+            np.asarray([p[3] for p in packs], dtype=self.rdt))
         if x0s is None:
-            x0s = jnp.stack([
-                maxwell.random_block(jax.random.PRNGKey(seed + i), cfg.n, m,
-                                     self.dtype) for i in range(bsize)])
+            gen = self._x0gen(m)
+            blocks = [gen(jax.random.PRNGKey(seed + i)) for i in range(bsize)]
+            if self.rb:
+                x0s = boundary.CArr(jnp.stack([blk.ri for blk in blocks]))
+            else:
+                x0s = jnp.stack(blocks)
 
         run = self._jitted_batch(m, bsize)
         t0 = time.time()
-        res = run(d_a, b_d, b_s, i_d, i_s, shifts, x0s, self.diel)
+        res = run(d_a, b, inv, shifts, x0s, self.diel, self.dft)
         res.lambdas.block_until_ready()
         wall = time.time() - t0
 
         out = []
-        _, a_apply = self._jitted(m)
+        _, stats = self._jitted(m)
         for i, alpha in enumerate(alphas):
             lambdas = np.asarray(res.lambdas[i])
             status = int(res.status[i])
@@ -184,10 +272,14 @@ class KPointSolver:
             omega = omega_re = None
             if status in (lob.Status.CONVERGED, lob.Status.FLOOR,
                           lob.Status.MAXITER) and validate_result:
+                shift = float(packs[i][3])
+                lam_pen = lambdas - (shift if shift > 0 else 0.0)
+                lam_re, res_nrm = stats(
+                    d_a[i], self.diel, res.x[i],
+                    jnp.asarray(lam_pen.astype(self.rdt)), self.dft)
                 report = validate.recompute(
-                    lambdas[: cfg.nev], res.x[i][: cfg.nev],
-                    lambda v: a_apply(d_a[i], self.diel, v),
-                    shift=float(packs[i][3]), scal=cfg.scal)
+                    lambdas[: cfg.nev], shift=shift, scal=cfg.scal,
+                    stats=(np.asarray(lam_re), np.asarray(res_nrm)))
                 omega, omega_re = report.omega_pnt, report.omega_re
             out.append(EigenResult(
                 omega=omega, omega_re=omega_re, lambdas=lambdas,
@@ -195,22 +287,40 @@ class KPointSolver:
                 wall_time=wall / bsize, status=status, report=report))
         return out
 
-    def solve(self, alpha, x0: Optional[jnp.ndarray] = None,
-              seed: int = 0, validate_result: bool = True,
+    def validate_solution(self, alpha, result: "EigenResult",
+                          verbose: bool = False,
+                          raise_on_spurious: bool = True):
+        """Validation report for an existing solve at ``alpha`` — runs only
+        the jitted stats program on result.x (no re-solve)."""
+        cfg = self.cfg
+        d_a, _b, _inv, shift = self.symbols_for(alpha)
+        _, stats = self._jitted(result.x.shape[0])
+        lambdas = np.asarray(result.lambdas)
+        lam_pen = lambdas - (shift if shift > 0 else 0.0)
+        lam_re, res_nrm = stats(d_a, self.diel, result.x,
+                                jnp.asarray(lam_pen.astype(self.rdt)),
+                                self.dft)
+        return validate.recompute(
+            lambdas[: cfg.nev], shift=shift, scal=cfg.scal,
+            stats=(np.asarray(lam_re), np.asarray(res_nrm)),
+            verbose=verbose, raise_on_spurious=raise_on_spurious)
+
+    def solve(self, alpha, x0=None, seed: int = 0,
+              validate_result: bool = True,
               verbose: bool = False) -> EigenResult:
         cfg = self.cfg
         m = self.block_width(alpha)
         if x0 is None:
-            x0 = maxwell.random_block(jax.random.PRNGKey(seed), cfg.n, m,
-                                      self.dtype)
+            x0 = self._x0gen(m)(jax.random.PRNGKey(seed))
         elif x0.shape[0] != m:
-            x0 = _fit_block(x0, m, cfg.n, self.dtype, seed)
+            x0 = self._fit(x0, m, seed)
 
         d_a, b, inv, shift = self.symbols_for(alpha)
-        run, a_apply = self._jitted(m)
+        run, stats = self._jitted(m)
 
         t0 = time.time()
-        res = run(d_a, b, inv, jnp.asarray(shift, self.dtype), x0, self.diel)
+        res = run(d_a, b, inv, jnp.asarray(shift, self.rdt), x0,
+                  self.diel, self.dft)
         res.lambdas.block_until_ready()
         wall = time.time() - t0
 
@@ -221,10 +331,14 @@ class KPointSolver:
         if status in (lob.Status.CONVERGED, lob.Status.FLOOR,
                       lob.Status.MAXITER):
             if validate_result:
+                lam_pen = lambdas - (shift if shift > 0 else 0.0)
+                lam_re, res_nrm = stats(
+                    d_a, self.diel, res.x,
+                    jnp.asarray(lam_pen.astype(self.rdt)), self.dft)
                 report = validate.recompute(
-                    lambdas[: cfg.nev], res.x[: cfg.nev],
-                    lambda v: a_apply(d_a, self.diel, v), shift=shift,
-                    scal=cfg.scal, verbose=verbose)
+                    lambdas[: cfg.nev], shift=shift, scal=cfg.scal,
+                    stats=(np.asarray(lam_re), np.asarray(res_nrm)),
+                    verbose=verbose)
                 omega, omega_re = report.omega_pnt, report.omega_re
             else:
                 from pcx.utils import sqrt_robust
@@ -235,16 +349,6 @@ class KPointSolver:
         return EigenResult(omega=omega, omega_re=omega_re, lambdas=lambdas,
                            x=res.x, iterations=int(res.iterations),
                            wall_time=wall, status=status, report=report)
-
-
-def _fit_block(x, m, n, dtype, seed):
-    """Warm-start width adaptation: truncate or pad with random columns
-    (reference: numerical_experiments.py:425-432)."""
-    if x.shape[0] >= m:
-        return x[:m]
-    extra = maxwell.random_block(jax.random.PRNGKey(seed + 1), n,
-                                 m - x.shape[0], dtype)
-    return jnp.concatenate((x, extra), axis=0)
 
 
 def eigen_1p(n: int, lattice: str, alpha, diel_type: str = "chiral",

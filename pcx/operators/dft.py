@@ -1,0 +1,76 @@
+"""3-D DFT as explicit MXU matmuls with controlled precision.
+
+XLA's TPU FFT lowers to reduced-precision matmul passes; at N^3 ~ 1.7M
+points the relative error reaches ~1e-3..1e-4, which (a) raises the
+attainable LOBPCG residual floor by ~100x and (b) lets numerically-null
+basis columns survive orthogonalization and appear as phantom near-zero
+Ritz values (observed at N=120 complex64 on v5e).
+
+For the moderate per-axis sizes of this problem (N <= ~200) the DFT along
+each grid axis is a single (N, N) matrix contraction — exactly what the MXU
+is built for.  Applying it at ``Precision.HIGHEST`` (6-pass f32) gives true
+f32 accuracy with error growth ~ sqrt(N) per axis, ~100-1000x better than
+the builtin path, at comparable or better speed: 3 batched GEMMs per
+direction, fully MXU-resident.
+
+The (N, N) twiddle matrices are k-independent, built once per grid on the
+host, and passed through the jit boundary as ARGUMENTS (230 KB at N=120 —
+never closure constants; see pcx.boundary).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class DFTMats(NamedTuple):
+    """Forward/inverse DFT matrices, each (N, N) complex.
+
+    fwd[j, k] = exp(-2 pi i j k / N); inv = conj(fwd) / N  — matching the
+    jnp.fft.fftn / ifftn normalization used by the Fourier-domain operator.
+    """
+    fwd: jnp.ndarray
+    inv: jnp.ndarray
+
+
+def dft_mats(n: int, dtype=np.complex64) -> DFTMats:
+    j = np.arange(n)
+    w = np.exp(-2j * np.pi * np.outer(j, j) / n)
+    return DFTMats(np.asarray(w, dtype=dtype),
+                   np.asarray(w.conj() / n, dtype=dtype))
+
+
+def _axis_dft(x: jnp.ndarray, w: jnp.ndarray, precision) -> jnp.ndarray:
+    """Contract the -3rd axis of x with w (N_in x N_out), appending the
+    transformed axis last: (..., a, b, c) -> (..., b, c, a').  Complex via
+    four real dots (complex dot_general is unimplemented on this backend,
+    and real-split is how the MXU executes it anyway)."""
+    dims = (((x.ndim - 3,), (0,)), ((), ()))
+    xr, xi = x.real, x.imag
+    wr, wi = w.real, w.imag
+    rd = lambda a, b: lax.dot_general(a, b, dims, precision=precision)
+    re = rd(xr, wr) - rd(xi, wi)
+    im = rd(xr, wi) + rd(xi, wr)
+    return lax.complex(re, im)
+
+
+def dft3(x: jnp.ndarray, w: jnp.ndarray,
+         precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """3-D DFT over the last three axes of x via three cyclic axis
+    contractions (axis layout is restored after the third)."""
+    for _ in range(3):
+        x = _axis_dft(x, w, precision)
+    return x
+
+
+def make_fft_pair(mats: DFTMats, precision=lax.Precision.HIGHEST):
+    """(fftn, ifftn) closures over the twiddle ARGUMENTS, drop-in for
+    jnp.fft.fftn/ifftn over the last three axes."""
+    return (lambda x: dft3(x, mats.fwd, precision),
+            lambda x: dft3(x, mats.inv, precision))

@@ -27,32 +27,44 @@ from pcx import lattices
 from pcx.config import ProblemConfig, SCAL, set_relaxation
 from pcx.operators import symbols as sym
 from pcx.operators import dielectric as diel_mod
+from pcx.operators import dft as dft_mod
 from pcx.operators.blocks import a_block, h_block
 from pcx.utils import real_dtype
 
 _SPATIAL_AXES = (-3, -2, -1)
 
 
-def ama(x: jnp.ndarray, d_a: jnp.ndarray, diel: Callable) -> jnp.ndarray:
+def ama(x: jnp.ndarray, d_a: jnp.ndarray, diel: Callable,
+        dft: Optional[dft_mod.DFTMats] = None) -> jnp.ndarray:
     """A M A^H applied to a Fourier-space block (..., 3, N, N, N).
 
     Reference: AMA, paper_2/pcfft.py:130-158 (2 batched 3-D FFTs per call).
+    ``dft``: optional explicit twiddle matrices — the transforms then run as
+    full-precision MXU matmuls (pcx.operators.dft) instead of the builtin
+    TPU FFT, whose reduced-precision lowering raises the residual floor
+    ~100x at N^3 ~ 1e6.
     """
     y = a_block(x, -d_a.conj())
-    y = jnp.fft.fftn(y, axes=_SPATIAL_AXES)
-    y = diel(y)
-    y = jnp.fft.ifftn(y, axes=_SPATIAL_AXES)
+    if dft is None:
+        y = jnp.fft.fftn(y, axes=_SPATIAL_AXES)
+        y = diel(y)
+        y = jnp.fft.ifftn(y, axes=_SPATIAL_AXES)
+    else:
+        y = dft_mod.dft3(y, dft.fwd)
+        y = diel(y)
+        y = dft_mod.dft3(y, dft.inv)
     return a_block(y, d_a)
 
 
 def ama_bb(x: jnp.ndarray, d_a: jnp.ndarray, b: sym.HermSymbol,
-           diel: Callable, shift: float = 0.0) -> jnp.ndarray:
+           diel: Callable, shift: float = 0.0,
+           dft: Optional[dft_mod.DFTMats] = None) -> jnp.ndarray:
     """A M A^H + pnt B^H B (+ shift) — the penalized HPD operator.
 
     ``b`` must already include the penalty factor pnt.
     Reference: AMA_BB, paper_2/pcfft.py:160-181.
     """
-    y = ama(x, d_a, diel) + h_block(x, b)
+    y = ama(x, d_a, diel, dft=dft) + h_block(x, b)
     static_zero = isinstance(shift, (int, float)) and shift == 0.0
     if not static_zero:
         y = y + shift * x

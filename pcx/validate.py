@@ -42,11 +42,17 @@ class ValidationReport:
         return "\n".join(lines)
 
 
-def recompute(lambdas_in, x, a_apply, shift: float = 0.0, scal: float = SCAL,
-              spurious_tol: float = 1e-3, raise_on_spurious: bool = True,
-              verbose: bool = False) -> ValidationReport:
+def recompute(lambdas_in, x=None, a_apply=None, shift: float = 0.0,
+              scal: float = SCAL, spurious_tol: float = 1e-3,
+              raise_on_spurious: bool = True, verbose: bool = False,
+              stats=None) -> ValidationReport:
     """Recompute eigenvalues against the unpenalized operator and convert to
     frequencies omega = sqrt(lambda) * scal / (2 pi).
+
+    Either pass (x, a_apply) to compute the Rayleigh quotients here (eager
+    device ops — CPU paths), or ``stats = (lam_re, residual_norms)``
+    precomputed by a jitted real-boundary function (TPU paths, where eager
+    complex ops cannot run).
 
     Reference: recompute_normalize_print, numerical_experiments.py:87-158.
     """
@@ -54,11 +60,15 @@ def recompute(lambdas_in, x, a_apply, shift: float = 0.0, scal: float = SCAL,
     if shift > 0.0:
         lambdas = lambdas - shift
 
-    adax = a_apply(x)
-    lam_re = np.asarray((dots(x, adax) / dots(x, x)).real)
-    r = adax - jnp.asarray(lambdas, dtype=x.dtype).reshape(
-        (-1,) + (1,) * (x.ndim - 1)) * x
-    res = np.asarray(norms(r))
+    if stats is not None:
+        lam_re = np.asarray(stats[0], dtype=float)[: lambdas.shape[0]]
+        res = np.asarray(stats[1], dtype=float)[: lambdas.shape[0]]
+    else:
+        adax = a_apply(x)
+        lam_re = np.asarray((dots(x, adax) / dots(x, x)).real)
+        r = adax - jnp.asarray(lambdas, dtype=x.dtype).reshape(
+            (-1,) + (1,) * (x.ndim - 1)) * x
+        res = np.asarray(norms(r))
 
     # NaN cross-checks (reference: numerical_experiments.py:113-132).
     nan_pnt = np.isnan(lambdas)
