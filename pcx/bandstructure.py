@@ -20,13 +20,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pcx import boundary, lattices, validate
+from pcx import boundary, lattices, stencils, validate
 from pcx.config import (GAP, MAXITER, NEV, TOL, ProblemConfig, SCAL,
                         block_width, set_relaxation)
 from pcx.io import BandLibrary
 from pcx.operators import dielectric as diel_mod
 from pcx.operators import dft as dft_mod
 from pcx.operators import maxwell
+from pcx.operators import rs
 from pcx.operators import symbols as sym
 from pcx.operators.blocks import h_block
 from pcx.solvers import lobpcg as lob
@@ -54,7 +55,7 @@ class KPointSolver:
                  diel: Optional[diel_mod.DielectricOp] = None,
                  solver_opts: Optional[dict] = None,
                  real_boundary: Optional[bool] = None,
-                 fft_mode: str = "auto"):
+                 fft_mode: str = "auto", refine: Optional[bool] = None):
         self.cfg = cfg
         self.dtype = dtype
         self.tol = tol
@@ -62,6 +63,15 @@ class KPointSolver:
         self.solver_opts = dict(solver_opts or {})
         self.locking = solver != "nolock"
         self.rdt = real_dtype(dtype)
+        if jnp.dtype(dtype) == jnp.dtype(jnp.complex64):
+            # c64 robustness defaults (large grids, ||H|| ~ 1e5+): a second
+            # orthogonalization pass ("twice is enough") keeps the RR basis
+            # orthonormal — single-pass MGS can leave noise-dominated columns
+            # nearly parallel, and the identity-Gram RR then produces
+            # below-spectrum phantom difference-eigenvalues; more frequent
+            # HX/HP refreshes bound recombination drift.
+            self.solver_opts.setdefault("ortho_passes", 2)
+            self.solver_opts.setdefault("refresh_every", 5)
         # Real-boundary mode: complex data crosses every jit boundary as
         # (..., 2) real arrays (the axon TPU backend cannot transfer complex
         # buffers; complex arithmetic INSIDE programs is fine).  Auto-on for
@@ -81,6 +91,25 @@ class KPointSolver:
         use_matmul = fft_mode == "matmul" or (fft_mode == "auto" and self.rb)
         self.dft = (self._place(dft_mod.dft_mats(cfg.n))
                     if use_matmul else None)
+        # f64 refine/validate path (rb mode): eigenvalues of the c64-iterated
+        # subspace are re-extracted by an f64 real-split Rayleigh-Ritz, and
+        # the spurious gate measured with f64 quotients — limited by the
+        # SUBSPACE, not by c64 apply noise.  Only (N,)-sized 1-D symbol parts
+        # and (N, N) twiddles cross the slow host link; the (3, N, N, N)
+        # symbols are rebuilt on device (rs.build_curl_p).
+        self.refine = refine if refine is not None else self.rb
+        if self.refine:
+            d1 = stencils.symbol_1d(cfg.n, cfg.k, 1, 1.0 / cfg.n) / cfg.scal
+            d0 = stencils.symbol_1d(cfg.n, cfg.k, 0) / cfg.scal
+            w = dft_mod.dft_mats(cfg.n, np.complex128)
+            put = lambda a: jax.device_put(np.asarray(a, np.float64))
+            self._f64 = dict(
+                d1=(put(d1.real), put(d1.imag)),
+                d0=(put(d0.real), put(d0.imag)),
+                ct=put(lattices.ct_matrix(cfg.lattice) if cfg.lattice
+                       else np.eye(3)),
+                wf=(put(w.fwd.real), put(w.fwd.imag)),
+                wi=(put(w.inv.real), put(w.inv.imag)))
         # k-independent symbol parts on the UNIT cell, built once (reference
         # computes d_fft, di_fft once per sweep, num_exp.py:352); the lattice
         # constant enters as a single 1/scal factor on the whole curl symbol.
@@ -124,6 +153,118 @@ class KPointSolver:
         else:
             run, stats = jax.jit(run_core), jax.jit(stats_core)
         return run, stats
+
+    @lru_cache(maxsize=8)
+    def _refine_jit(self, m: int):
+        """f64 pair Rayleigh-Ritz refinement + validation statistics of a
+        c64-iterated block (see __init__ docnote).
+
+        The f64 operator is applied to COLUMN CHUNKS inside fori_loops: the
+        emulated-f64 dot_generals expand each operand into f32 limb temps,
+        so a full (m, 3, N, N, N) f64 apply needs ~20 GB of HBM at N=120 —
+        streaming 2 columns at a time keeps the working set under ~2 GB at
+        the cost of nothing (the whole refine runs once per solve)."""
+        from jax import lax
+
+        nev, n = self.cfg.nev, self.cfg.n
+        cw = 2 if m % 2 == 0 else 1
+        nc = m // cw
+        vw = 2 if nev % 2 == 0 else 1
+        nv = nev // vw
+
+        def core(d1, d0, ct, alpha, pnt, shift, x_ri, diel, wf, wi):
+            d_a = rs.build_curl_p(d1, d0, ct, alpha)
+            b_diag, b_sdiag = rs.penalty_p(d_a, pnt)
+            f64 = jnp.float64
+
+            def chunk(i, width):
+                xc = lax.dynamic_slice_in_dim(x_ri, i * width, width, 0)
+                return (xc[..., 0].astype(f64), xc[..., 1].astype(f64))
+
+            flat = lambda pr, k: (pr[0].reshape(k, -1),
+                                  pr[1].reshape(k, -1))
+
+            # ---- projected pencil T = X^H (H+shift) X, G = X^H X --------
+            def body_i(i, acc):
+                t_re, t_im, g_re, g_im = acc
+                xi = chunk(i, cw)
+                hi = flat(rs.ama_bb_p(xi, d_a, b_diag, b_sdiag, diel,
+                                      wf, wi, shift), cw)
+                xif = flat(xi, cw)
+
+                def body_j(j, acc2):
+                    t_re, t_im, g_re, g_im = acc2
+                    xj = flat(chunk(j, cw), cw)
+                    tb = rs.gram_p(xj, hi)
+                    gb = rs.gram_p(xj, xif)
+                    upd = lambda a, blk: lax.dynamic_update_slice(
+                        a, blk, (j * cw, i * cw))
+                    return (upd(t_re, tb[0]), upd(t_im, tb[1]),
+                            upd(g_re, gb[0]), upd(g_im, gb[1]))
+
+                return lax.fori_loop(0, nc, body_j, (t_re, t_im, g_re, g_im))
+
+            zeros = jnp.zeros((m, m), f64)
+            t_re, t_im, g_re, g_im = lax.fori_loop(
+                0, nc, body_i, (zeros, zeros, zeros, zeros))
+            theta, c = rs.pencil_f64_embedding((t_re, t_im), (g_re, g_im))
+
+            # ---- validation of the leading nev refined modes ------------
+            lam = theta[:nev] - shift
+
+            def body_oc(oc, acc):
+                lam_re_all, res_all = acc
+
+                def mix_acc(i, xr):
+                    xi = flat(chunk(i, cw), cw)
+                    cre = lax.dynamic_slice(c[0], (i * cw, oc * vw), (cw, vw))
+                    cim = lax.dynamic_slice(c[1], (i * cw, oc * vw), (cw, vw))
+                    y = rs.mix_p((cre, cim), xi)
+                    return (xr[0] + y[0], xr[1] + y[1])
+
+                zer = jnp.zeros((vw, 3 * n * n * n), f64)
+                xr = lax.fori_loop(0, nc, mix_acc, (zer, zer))
+                xg = (xr[0].reshape(vw, 3, n, n, n),
+                      xr[1].reshape(vw, 3, n, n, n))
+                ax = flat(rs.ama_p(xg, d_a, diel, wf, wi), vw)
+                den = jnp.sum(xr[0] ** 2 + xr[1] ** 2, axis=1)
+                num = jnp.sum(xr[0] * ax[0] + xr[1] * ax[1], axis=1)
+                lam_oc = lax.dynamic_slice(lam, (oc * vw,), (vw,))[:, None]
+                r_re = ax[0] - lam_oc * xr[0]
+                r_im = ax[1] - lam_oc * xr[1]
+                res = jnp.sqrt(jnp.sum(r_re ** 2 + r_im ** 2, axis=1)
+                               / jnp.maximum(den, 1e-300))
+                lam_re = num / jnp.maximum(den, 1e-300)
+                return (lax.dynamic_update_slice(lam_re_all, lam_re,
+                                                 (oc * vw,)),
+                        lax.dynamic_update_slice(res_all, res, (oc * vw,)))
+
+            zv = jnp.zeros((nev,), f64)
+            lam_re, res_nrm = lax.fori_loop(0, nv, body_oc, (zv, zv))
+            return theta, lam_re, res_nrm
+
+        return jax.jit(core)
+
+    def _refine_report(self, alpha, x, verbose=False,
+                       raise_on_spurious=True):
+        """Run the f64 refine program; returns (report, theta, x_refined)."""
+        cfg = self.cfg
+        (shift, _), pnt = set_relaxation(alpha)
+        shift = shift / cfg.scal**2
+        f = self._f64
+        m = x.shape[0]
+        theta, lam_re, res_nrm = self._refine_jit(m)(
+            f["d1"], f["d0"], f["ct"],
+            jnp.asarray(np.asarray(alpha, np.float64)),
+            jnp.asarray(np.float64(pnt)), jnp.asarray(np.float64(shift)),
+            x.ri if isinstance(x, boundary.CArr) else boundary.encode(x).ri,
+            self.diel, f["wf"], f["wi"])
+        theta = np.asarray(theta)
+        report = validate.recompute(
+            theta[: cfg.nev], shift=shift, scal=cfg.scal,
+            stats=(np.asarray(lam_re), np.asarray(res_nrm)),
+            verbose=verbose, raise_on_spurious=raise_on_spurious)
+        return report, theta, x
 
     def _place(self, tree):
         """Move a (possibly complex) host pytree to the device in the
@@ -293,6 +434,11 @@ class KPointSolver:
         """Validation report for an existing solve at ``alpha`` — runs only
         the jitted stats program on result.x (no re-solve)."""
         cfg = self.cfg
+        if self.refine:
+            report, _theta, _x = self._refine_report(
+                alpha, result.x, verbose=verbose,
+                raise_on_spurious=raise_on_spurious)
+            return report
         d_a, _b, _inv, shift = self.symbols_for(alpha)
         _, stats = self._jitted(result.x.shape[0])
         lambdas = np.asarray(result.lambdas)
@@ -326,11 +472,16 @@ class KPointSolver:
 
         lambdas = np.asarray(res.lambdas)
         status = int(res.status)
+        x_final = res.x
         report = None
         omega = omega_re = None
         if status in (lob.Status.CONVERGED, lob.Status.FLOOR,
                       lob.Status.MAXITER):
-            if validate_result:
+            if validate_result and self.refine:
+                report, lambdas, x_final = self._refine_report(
+                    alpha, res.x, verbose=verbose)
+                omega, omega_re = report.omega_pnt, report.omega_re
+            elif validate_result:
                 lam_pen = lambdas - (shift if shift > 0 else 0.0)
                 lam_re, res_nrm = stats(
                     d_a, self.diel, res.x,
@@ -347,7 +498,7 @@ class KPointSolver:
                                   for v in lam])
                 omega_re = omega
         return EigenResult(omega=omega, omega_re=omega_re, lambdas=lambdas,
-                           x=res.x, iterations=int(res.iterations),
+                           x=x_final, iterations=int(res.iterations),
                            wall_time=wall, status=status, report=report)
 
 

@@ -61,6 +61,9 @@ class DielectricOp:
     params: tuple = ()
     diag: Optional[Callable[[], jnp.ndarray]] = None
     offdiag_abs_row_sums: Optional[Callable[[], jnp.ndarray]] = None
+    # Static construction facts needed by precision-variant applies (e.g.
+    # the f64 pair path, pcx.operators.rs): hashable tuple of (key, value).
+    meta: tuple = ()
 
     def __call__(self, x):
         return self.apply_fn(self.params, x)
@@ -70,12 +73,12 @@ class DielectricOp:
 
     def tree_flatten(self):
         return (self.params,), (self.name, self.apply_fn, self.diag,
-                                self.offdiag_abs_row_sums)
+                                self.offdiag_abs_row_sums, self.meta)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        name, apply_fn, diag, offdiag = aux
-        return cls(name, apply_fn, children[0], diag, offdiag)
+        name, apply_fn, diag, offdiag, meta = aux
+        return cls(name, apply_fn, children[0], diag, offdiag, meta)
 
     def sdd_violations(self) -> int:
         """Rows where strict diagonal dominance fails."""
@@ -323,7 +326,8 @@ def pseudochiral_crossdof_op(n: int, lattice: Optional[str], eps_opt: int = 0,
 
     return DielectricOp("pseudochiral_crossdof", apply, (diag_j, masks),
                         diag=lambda: diag_j,
-                        offdiag_abs_row_sums=offdiag_abs)
+                        offdiag_abs_row_sums=offdiag_abs,
+                        meta=(("sten", sten), ("eps", (e3, e4, e5))))
 
 
 DIELECTRIC_REGISTRY: Dict[str, Callable] = {

@@ -166,14 +166,17 @@ def lobpcg_sep(
 
     def body_fun(s: _State):
         it = s.it
-        # Periodic HX refresh: the recombination update (gemms) accumulates
-        # rounding drift between HX and H(X); in complex64 the drift feeds
-        # back and can destabilize the iteration.  One extra operator apply
-        # every `refresh_every` iterations pins it down.
-        hx_cur = lax.cond(
-            (refresh_every > 0) & (it > 0)
-            & (jnp.mod(it, refresh_every) == 0),
-            lambda: h_func(s.x), lambda: s.hx)
+        # Periodic HX/HP refresh: the recombination update (gemms)
+        # accumulates rounding drift between HX and H(X) (and HP vs H(P));
+        # in complex64 the drift feeds back into the projected pencil, which
+        # then admits below-spectrum phantom Ritz values and can destabilize
+        # the iteration (observed at N=120, ||H|| ~ 1e5).  Two extra
+        # operator applies every `refresh_every` iterations pin both down.
+        do_refresh = ((refresh_every > 0) & (it > 0)
+                      & (jnp.mod(it, refresh_every) == 0))
+        hx_cur = lax.cond(do_refresh, lambda: h_func(s.x), lambda: s.hx)
+        hp_cur = lax.cond(do_refresh, lambda: h_func(s.p), lambda: s.hp)
+        s = s._replace(hp=hp_cur)
 
         # Residual R = lambda*X - HX (reference stores it in the W slot,
         # lobpcg.py:394-395).

@@ -80,6 +80,22 @@ def test_real_boundary_solver_matches_normal(diel_type):
     np.testing.assert_allclose(got.omega_re, ref.omega_re, atol=1e-8)
 
 
+def test_f64_refine_recovers_accuracy():
+    """c64 solve + f64 pair Rayleigh-Ritz refinement: the gate deviation
+    drops to f64 level and omega approaches the c128 reference."""
+    cfg = ProblemConfig(n=8, lattice="sc_curv",
+                        diel_type="pseudochiral_crossdof", nev=4)
+    a = np.array([np.pi, 0.0, 0.0])
+    ref = KPointSolver(cfg, dtype=jnp.complex128,
+                       real_boundary=False).solve(a, seed=0)
+    got = KPointSolver(cfg, dtype=jnp.complex64, real_boundary=True,
+                       refine=True).solve(a, seed=0)
+    assert got.status in (1, 5)
+    dev = np.abs(np.asarray(got.omega) - np.asarray(got.omega_re)).max()
+    assert dev < 1e-9          # f64-level agreement of the refined pair
+    np.testing.assert_allclose(got.omega_re, ref.omega_re, atol=1e-6)
+
+
 def test_real_boundary_warm_start_and_batch():
     cfg = ProblemConfig(n=8, lattice="sc_flat1", nev=4)
     s = KPointSolver(cfg, dtype=jnp.complex128, real_boundary=True)

@@ -86,3 +86,36 @@ def test_project_off(rng):
     out, _ = rr.project_off(block, basis)
     g = np.asarray(rr.gram(basis, out))
     np.testing.assert_allclose(g, 0, atol=1e-10)
+
+
+def test_masked_mgs_twice_is_enough_on_noise_columns():
+    """A column that is 99.99% inside span(X) must come out orthonormal
+    after 2 passes — single-pass MGS can leave such columns nearly parallel,
+    which the identity-Gram Rayleigh-Ritz turns into below-spectrum phantom
+    eigenvalues (observed at N=120 complex64 on TPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pcx.solvers import rayleigh_ritz as rr
+
+    rng = np.random.default_rng(5)
+    m, d = 6, 4096
+    x = rng.standard_normal((m, d)) + 1j * rng.standard_normal((m, d))
+    x = np.asarray(rr.masked_mgs(jnp.asarray(x, jnp.complex64),
+                                 jnp.ones(m, jnp.float32), 1e-6)[0])
+    # w: almost inside span(x) + tiny independent noise
+    w = (x[:3] * np.array([[1.0], [1.0], [1.0]])
+         + 1e-4 * (rng.standard_normal((3, d))
+                   + 1j * rng.standard_normal((3, d)))).astype(np.complex64)
+    for passes in (1, 2):
+        q, _, ok = rr.masked_mgs(jnp.asarray(w), jnp.ones(3, jnp.float32),
+                                 1e-7, against=(jnp.asarray(x),),
+                                 passes=passes)
+        q = np.asarray(q)[np.asarray(ok) > 0]
+        if len(q) == 0:
+            continue
+        g = q @ q.conj().T
+        basis_err = np.abs(g - np.eye(len(q))).max()
+        cross = np.abs(q @ np.asarray(x).conj().T).max()
+        if passes == 2:
+            assert basis_err < 5e-6, basis_err
+            assert cross < 5e-6, cross
