@@ -91,6 +91,7 @@ def lobpcg_sep(
     reduce_axis=None,
     use_p: bool = True,
     rr_mirror: bool = False,
+    ortho: str = "svqb",
 ) -> SolveResult:
     """LOBPCG for the standard Hermitian eigenproblem H x = lambda x.
 
@@ -242,9 +243,14 @@ def lobpcg_sep(
             # orthogonal — spurious below-spectrum Ritz values (the failure
             # mode of jitter-clamped factorizations on nearly dependent
             # blocks) are structurally impossible.
+            # Orthonormalizer: SVQB-with-dropping (GEMM-bound, 2 passes) by
+            # default; sequential masked MGS kept as an option (same drop
+            # rule, ~5x more HBM traffic — see rayleigh_ritz.masked_svqb_drop).
+            ortho_fn = (rr_mod.masked_svqb_drop if ortho == "svqb"
+                        else rr_mod.masked_mgs)
             w = p_func(r * amask) * amask
             wf, _ = _col_normalize(flat(w), tiny, axis_name=reduce_axis)
-            wf, _, w_ok = rr_mod.masked_mgs(
+            wf, _, w_ok = ortho_fn(
                 wf, active, noise_floor, against=(xf,),
                 axis_name=reduce_axis, passes=ortho_passes)
             hw = h_func(wf.reshape(s.x.shape))
@@ -255,7 +261,7 @@ def lobpcg_sep(
             pf, hpf = flat(s.p) * pcol, flat(s.hp) * pcol
             pf, pn = _col_normalize(pf, tiny, axis_name=reduce_axis)
             hpf = hpf * (1.0 / jnp.maximum(pn, tiny))[:, None].astype(cdtype)
-            pf, hpf, p_ok = rr_mod.masked_mgs(
+            pf, hpf, p_ok = ortho_fn(
                 pf, p_act, noise_floor, hblock=hpf,
                 against=(xf, wf), h_against=(hxf, hwf),
                 axis_name=reduce_axis, passes=ortho_passes)

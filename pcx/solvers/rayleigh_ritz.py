@@ -142,7 +142,7 @@ def gram_f64(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 65536,
 
 
 def eigh_f64_embedding(t_re: jnp.ndarray, t_im: jnp.ndarray,
-                       split: float = 1e-10):
+                       split: float = 1e-10) -> Tuple[jnp.ndarray, ...]:
     """complex128-equivalent Hermitian eigh, entirely on device, via the
     real-symmetric embedding  M = [[Re T, -Im T], [Im T, Re T]]  in f64.
 
@@ -297,6 +297,71 @@ def masked_mgs(block: jnp.ndarray, mask: jnp.ndarray, drop_tol: float,
 
     q, hq, mask = lax.fori_loop(0, m, step, (block, hb, mask))
     return q, (hq if hblock is not None else None), mask
+
+
+def masked_svqb_drop(block: jnp.ndarray, mask: jnp.ndarray, drop_tol: float,
+                     hblock: Optional[jnp.ndarray] = None,
+                     against=(), h_against=(), axis_name=None,
+                     passes: int = 2):
+    """SVQB orthonormalization with dependent-direction DROPPING — the
+    GEMM-bound replacement for :func:`masked_mgs` on TPU.
+
+    masked_mgs is structurally safe but sequential: its fori_loop reads the
+    full (m, D) block every step (m steps x passes), ~200 ms/iteration at
+    N=96 on v5e — half the LOBPCG iteration.  This variant does the same
+    job with 2 Gram+mix passes:
+
+    per pass:
+      1. project the block off the fixed orthonormal bases in ``against``;
+      2. f64-accumulated Gram G of the block (masked rows decoupled);
+      3. eigendecompose G (f64 real embedding); eigendirections with
+         eigenvalue < drop_tol^2 (i.e. sine of angle to the accepted span
+         < drop_tol, matching the MGS drop rule) are DROPPED — their
+         output rows are zeroed and masked out, never jitter-inflated
+         (jitter-clamping is what bred below-spectrum phantom Ritz values);
+      4. mix with V diag(ok / sqrt(eigval)): surviving rows are orthonormal
+         to f64-Gram accuracy; a second pass (Gram ~ I, no drops) removes
+         the c64 mixing noise, like CholQR2.
+
+    ``hblock``/``h_against`` are transformed consistently (no extra operator
+    applies).  Returns (q, hq, new_mask); new_mask is eigen-ordered
+    (ascending eigenvalue), which is fine for the caller's basis_mask use.
+    """
+    m = block.shape[0]
+    cdtype = block.dtype
+    rdtype = real_dtype(cdtype)
+    mask = mask.astype(jnp.float64)
+    split = 1e-12   # degeneracy-splitting perturbation of the embedding eigh
+
+    hb = hblock if hblock is not None else jnp.zeros((m, 0), cdtype)
+    for _ in range(passes):
+        for base, hbase in zip(against, h_against or [None] * len(against)):
+            coeff = gram(base, block, axis_name=axis_name)
+            block = block - mix(coeff, base)
+            if hblock is not None and hbase is not None:
+                hb = hb - mix(coeff, hbase)
+        keep = (mask[:, None] * mask[None, :])
+        g_re, g_im = gram_f64(block, block, axis_name=axis_name)
+        g_re = 0.5 * (g_re + g_re.T) * keep
+        g_im = 0.5 * (g_im - g_im.T) * keep
+        # The drop threshold must clear the eigh's degeneracy perturbation
+        # (split * gscale): otherwise exactly-dead directions get perturbed
+        # to eigenvalue ~split*gscale, survive a tiny drop_tol, and return
+        # as 1/sqrt(lambda)-amplified junk columns (phantom Ritz values).
+        gscale = jnp.max(jnp.abs(g_re)) + jnp.max(jnp.abs(g_im))
+        lam_min = jnp.maximum(jnp.asarray(float(drop_tol) ** 2, jnp.float64),
+                              1e3 * split * gscale)
+        w, vr, vi = eigh_f64_embedding(g_re, g_im, split=split)
+        ok = (w > lam_min).astype(jnp.float64)
+        scale = ok / jnp.sqrt(jnp.maximum(w, lam_min))
+        c_re = (vr * scale).astype(rdtype)
+        c_im = (vi * scale).astype(rdtype)
+        coeff = jax.lax.complex(c_re, c_im).astype(cdtype)
+        block = mix(coeff, block)
+        hb = mix(coeff, hb)
+        mask = ok
+    return (block, (hb if hblock is not None else None),
+            mask.astype(rdtype))
 
 
 def masked_cholqr(block: jnp.ndarray, mask: jnp.ndarray, jitter: float,
