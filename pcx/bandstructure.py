@@ -55,9 +55,22 @@ class KPointSolver:
                  diel: Optional[diel_mod.DielectricOp] = None,
                  solver_opts: Optional[dict] = None,
                  real_boundary: Optional[bool] = None,
-                 fft_mode: str = "auto", refine: Optional[bool] = None):
+                 fft_mode: str = "auto", refine: Optional[bool] = None,
+                 apply_chunk: Optional[int] = None):
         self.cfg = cfg
         self.dtype = dtype
+        # Column-chunked operator application: the matmul-DFT apply
+        # materializes several block-sized temporaries (splits + 4 real
+        # GEMM partials per axis); at N>=112, m=16 that pushes peak HBM
+        # past the v5e budget (observed device fault at N=120).  Applying
+        # H over column chunks inside a lax.map bounds the temporaries at
+        # chunk/m of the block for identical FLOPs.  None = auto:
+        # chunk so one sub-block stays under ~192 MB on accelerators.
+        if apply_chunk is None and jax.default_backend() != "cpu":
+            col_bytes = 3 * cfg.n**3 * 8
+            apply_chunk = max(1, int(192e6 // col_bytes)) \
+                if col_bytes * 16 > 1.5e9 else 0
+        self.apply_chunk = int(apply_chunk or 0)
         self.tol = tol
         self.maxiter = maxiter
         self.solver_opts = dict(solver_opts or {})
@@ -125,9 +138,21 @@ class KPointSolver:
                                       self.locking)
         opts = self.solver_opts
 
+        chunk = self.apply_chunk
+
         def run_core(d_a, b, inv, shift, x0, diel, dft):
-            def h_func(v):
+            def h_one(v):
                 return maxwell.ama_bb(v, d_a, b, diel, dft=dft) + shift * v
+
+            # round the chunk down to a divisor of m
+            c = max((d for d in range(1, min(chunk, m) + 1) if m % d == 0),
+                    default=0) if chunk else 0
+            if c and m > c:
+                def h_func(v):
+                    vc = v.reshape((m // c, c) + v.shape[1:])
+                    return jax.lax.map(h_one, vc).reshape(v.shape)
+            else:
+                h_func = h_one
 
             def p_func(v):
                 return h_block(v, inv)
