@@ -31,6 +31,7 @@ from pcx.operators import rs
 from pcx.operators import symbols as sym
 from pcx.operators.blocks import h_block
 from pcx.solvers import lobpcg as lob
+from pcx.solvers import lobpcg_rs as lob_rs
 from pcx.utils import GREEN, RED, RESET, YELLOW, dots, norms, real_dtype
 
 
@@ -56,7 +57,8 @@ class KPointSolver:
                  solver_opts: Optional[dict] = None,
                  real_boundary: Optional[bool] = None,
                  fft_mode: str = "auto", refine: Optional[bool] = None,
-                 apply_chunk: Optional[int] = None):
+                 apply_chunk: Optional[int] = None,
+                 solver_impl: str = "auto"):
         self.cfg = cfg
         self.dtype = dtype
         # Column-chunked operator application: the matmul-DFT apply
@@ -101,7 +103,17 @@ class KPointSolver:
         # FFT path: builtin pocketfft on CPU; full-precision MXU matmul DFT
         # on TPU (the builtin TPU FFT's reduced-precision lowering raises
         # the c64 residual floor ~100x and breeds phantom Ritz values).
-        use_matmul = fft_mode == "matmul" or (fft_mode == "auto" and self.rb)
+        # Solver implementation: the pair-layout ("real-split") solver is the
+        # production path on accelerators — it removes the materialized
+        # .real/.imag splits every complex GEMM pays on TPU (see
+        # solvers.lobpcg_rs).  "complex" keeps the reference-shaped complex
+        # solver (default on CPU, where tests exercise all variants).
+        if solver_impl == "auto":
+            solver_impl = "rs" if (self.rb and solver == "softlock") \
+                else "complex"
+        self.impl = solver_impl
+        use_matmul = (fft_mode == "matmul" or self.impl == "rs"
+                      or (fft_mode == "auto" and self.rb))
         self.dft = (self._place(dft_mod.dft_mats(cfg.n))
                     if use_matmul else None)
         # f64 refine/validate path (rb mode): eigenvalues of the c64-iterated
@@ -139,26 +151,68 @@ class KPointSolver:
         opts = self.solver_opts
 
         chunk = self.apply_chunk
+        impl = self.impl
+
+        # round the chunk down to a divisor of m
+        c = max((d for d in range(1, min(chunk, m) + 1) if m % d == 0),
+                default=0) if chunk else 0
+
+        def _chunked(h_one, pack, unpack):
+            if not (c and m > c):
+                return h_one
+
+            def h_func(v):
+                vc = pack(v)
+                return unpack(jax.lax.map(h_one, vc))
+            return h_func
 
         def run_core(d_a, b, inv, shift, x0, diel, dft):
             def h_one(v):
                 return maxwell.ama_bb(v, d_a, b, diel, dft=dft) + shift * v
 
-            # round the chunk down to a divisor of m
-            c = max((d for d in range(1, min(chunk, m) + 1) if m % d == 0),
-                    default=0) if chunk else 0
-            if c and m > c:
-                def h_func(v):
-                    vc = v.reshape((m // c, c) + v.shape[1:])
-                    return jax.lax.map(h_one, vc).reshape(v.shape)
-            else:
-                h_func = h_one
+            h_func = _chunked(
+                h_one,
+                lambda v: v.reshape((m // c, c) + v.shape[1:]),
+                lambda vc: vc.reshape((m,) + vc.shape[2:]))
 
             def p_func(v):
                 return h_block(v, inv)
 
             return lob.lobpcg_sep(h_func, p_func, x0, nev, tol=tol,
                                   maxiter=maxiter, locking=locking, **opts)
+
+        def run_core_rs(d_a, b, inv, shift, x0, diel, dft):
+            """Pair-layout production path: split complex inputs ONCE at
+            entry, run the real-split solver, restack once at exit."""
+            d_ap = (d_a.real, d_a.imag)
+            b_sd = (b.sdiag.real, b.sdiag.imag)
+            inv_sd = (inv.sdiag.real, inv.sdiag.imag)
+            wf = (dft.fwd.real, dft.fwd.imag)
+            wi = (dft.inv.real, dft.inv.imag)
+            x0p = (x0.real, x0.imag)
+            rdt = x0.real.dtype
+
+            def h_one(v):
+                return rs.ama_bb_p(v, d_ap, b.diag, b_sd, diel, wf, wi,
+                                   shift=shift)
+
+            h_func = _chunked(
+                h_one,
+                lambda v: tuple(a.reshape((m // c, c) + a.shape[1:])
+                                for a in v),
+                lambda vc: tuple(a.reshape((m,) + a.shape[2:]) for a in vc))
+
+            def p_func(v):
+                return rs.h_block_p(v, inv.diag, inv_sd)
+
+            rs_opts = {k: v for k, v in opts.items()
+                       if k in ("ortho_passes", "refresh_every",
+                                "floor_patience", "maxstagniter", "use_p")}
+            res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
+                                       maxiter=maxiter, locking=locking,
+                                       **rs_opts)
+            return res._replace(x=jax.lax.complex(*res.x).astype(x0.dtype),
+                                lambdas=res.lambdas.astype(rdt))
 
         def stats_core(d_a, diel, x, lambdas, dft):
             """Validation statistics of the leading nev modes against the
@@ -172,11 +226,12 @@ class KPointSolver:
             r = ax - bl * xs
             return lam_re, norms(r)
 
+        core = run_core_rs if impl == "rs" else run_core
         if self.rb:
-            run = jax.jit(boundary.real_boundary(run_core))
+            run = jax.jit(boundary.real_boundary(core))
             stats = jax.jit(boundary.real_boundary(stats_core))
         else:
-            run, stats = jax.jit(run_core), jax.jit(stats_core)
+            run, stats = jax.jit(core), jax.jit(stats_core)
         return run, stats
 
     @lru_cache(maxsize=8)

@@ -60,6 +60,19 @@ def from_carr_ri(ri: jnp.ndarray, dtype=jnp.float64) -> Pair:
     return (ri[..., 0].astype(dtype), ri[..., 1].astype(dtype))
 
 
+def to_ri(x: Pair) -> jnp.ndarray:
+    """Pair -> (..., 2) real array (a CArr payload)."""
+    return jnp.stack(x, axis=-1)
+
+
+def from_complex(z: jnp.ndarray) -> Pair:
+    return (z.real, z.imag)
+
+
+def to_complex(x: Pair) -> jnp.ndarray:
+    return jax.lax.complex(x[0], x[1])
+
+
 # -- block multiplies (pair versions of operators/blocks.py) -----------------
 
 def _comp(x: Pair, c: int) -> Pair:
@@ -116,16 +129,16 @@ def dft3_p(x: Pair, w: Pair,
 
 # -- dielectric apply on pairs ------------------------------------------------
 
-def diel_apply_p(diel, x: Pair) -> Pair:
-    """f64 pair apply of a DielectricOp, dispatched on op.name.
+def diel_apply_p(diel, x: Pair, dtype=jnp.float64) -> Pair:
+    """Pair apply of a DielectricOp, dispatched on op.name.
 
-    Device params (f32 / CArr f32) are upcast to f64 inside the program —
+    Device params (f32 / CArr f32) are cast to ``dtype`` inside the program —
     the constants themselves are exactly representable small rationals, so
     no accuracy is lost relative to the host-side c128 construction.
     """
     from pcx import boundary
 
-    def real64(p):
+    def realp(p):
         a = p.ri if isinstance(p, boundary.CArr) else p
         return a
 
@@ -133,24 +146,24 @@ def diel_apply_p(diel, x: Pair) -> Pair:
     if name == "identity":
         return x
     if name in ("chiral", "scalar_field"):
-        scale = jnp.asarray(real64(diel.params[0])).astype(jnp.float64)
+        scale = jnp.asarray(realp(diel.params[0])).astype(dtype)
         return pscale(x, scale)
     if name == "pseudochiral_trivial":
-        diag = jnp.asarray(real64(diel.params[0])).astype(jnp.float64)
+        diag = jnp.asarray(realp(diel.params[0])).astype(dtype)
         sd = diel.params[1]
-        sdp = (from_carr_ri(sd.ri) if isinstance(sd, boundary.CArr)
-               else (jnp.real(sd).astype(jnp.float64),
-                     jnp.imag(sd).astype(jnp.float64)))
+        sdp = (from_carr_ri(sd.ri, dtype) if isinstance(sd, boundary.CArr)
+               else (jnp.real(sd).astype(dtype),
+                     jnp.imag(sd).astype(dtype)))
         return h_block_p(x, diag, sdp)
     if name == "pseudochiral_crossdof":
         sten, eps = dict(diel.meta)["sten"], dict(diel.meta)["eps"]
-        diag = jnp.asarray(real64(diel.params[0])).astype(jnp.float64)
-        masks = jnp.asarray(real64(diel.params[1])).astype(jnp.float64)
-        return _crossdof_p(x, diag, masks, sten, eps)
-    raise NotImplementedError(f"no f64 pair apply for dielectric {name!r}")
+        diag = jnp.asarray(realp(diel.params[0])).astype(dtype)
+        masks = jnp.asarray(realp(diel.params[1])).astype(dtype)
+        return _crossdof_p(x, diag, masks, sten, eps, dtype)
+    raise NotImplementedError(f"no pair apply for dielectric {name!r}")
 
 
-def _crossdof_p(x: Pair, diag, masks, sten, eps) -> Pair:
+def _crossdof_p(x: Pair, diag, masks, sten, eps, dtype=jnp.float64) -> Pair:
     """Pair version of dielectric.make_crossdof_apply: the averaging rolls
     are REAL-linear (apply to re/im independently); the eps scalars are the
     only complex factors."""
@@ -173,8 +186,8 @@ def _crossdof_p(x: Pair, diag, masks, sten, eps) -> Pair:
         t2 = pscale(t_apply(v, axes, True), masks[col_c])
         return pscale(padd(t1, t2), 0.5)
 
-    e3, e4, e5 = [(jnp.float64(complex(e).real), jnp.float64(complex(e).imag))
-                  for e in eps]
+    e3, e4, e5 = [(jnp.asarray(complex(e).real, dtype),
+                   jnp.asarray(complex(e).imag, dtype)) for e in eps]
     x0, x1, x2 = _comp(x, 0), _comp(x, 1), _comp(x, 2)
     r12, c12, a12 = _PAIR_DEFS["12"]
     r13, c13, a13 = _PAIR_DEFS["13"]
@@ -202,7 +215,7 @@ def ama_p(x: Pair, d_a: Pair, diel, w_fwd: Pair, w_inv: Pair,
     """A M A^H on f64 pairs (reference: AMA, pcfft.py:130-158)."""
     y = a_block_p(x, pneg(pconj(d_a)))
     y = dft3_p(y, w_fwd, precision)
-    y = diel_apply_p(diel, y)
+    y = diel_apply_p(diel, y, dtype=x[0].dtype)
     y = dft3_p(y, w_inv, precision)
     return a_block_p(y, d_a)
 

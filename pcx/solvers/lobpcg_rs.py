@@ -1,0 +1,263 @@
+"""Pair-layout ("real-split") LOBPCG softlock — the TPU production solver.
+
+Identical algorithm to :func:`pcx.solvers.lobpcg.lobpcg_sep` (fixed-shape
+soft locking, SVQB-with-dropping orthonormalization, f64-accumulated
+Rayleigh-Ritz, NaN/stagnation/floor guards), but every big block is carried
+as a PAIR ``(re, im)`` of f32 arrays instead of a complex64 array.
+
+Why: on TPU each complex GEMM (Gram, mix, matmul-DFT pass) materializes
+``.real``/``.imag`` split copies of its operands and a recombine pass of
+its result — phase-profiled at ~2-3x the pure-HBM-traffic cost at N=96
+(tools/profile_phases.py).  On pairs the four real dot_generals read the
+operands directly and all elementwise complex arithmetic is explicit real
+arithmetic that XLA fuses exactly like the complex lowering would.
+
+The operator/preconditioner callables receive and return pairs shaped like
+``x0`` (see pcx.operators.rs for the pair Maxwell operator).  The reference
+algorithm remains lobpcg_sep_softlock, paper_2/lobpcg.py:325-492.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pcx.config import MAXITER, TOL
+from pcx.solvers import rayleigh_ritz as rr
+from pcx.solvers.lobpcg import SolveResult, Status
+
+Pair = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def _axpy(a, x: Pair, y: Pair) -> Pair:
+    """a*x + y with REAL per-column coefficients a (broadcast shape)."""
+    return (a * x[0] + y[0], a * x[1] + y[1])
+
+
+def lobpcg_sep_rs(
+    h_func: Callable[[Pair], Pair],
+    p_func: Callable[[Pair], Pair],
+    x0: Pair,
+    nev: int,
+    *,
+    shift: float = 0.0,
+    tol: float = TOL,
+    maxiter: int = MAXITER,
+    locking: bool = True,
+    maxstagniter: int = 50,
+    ortho_passes: int = 2,
+    refresh_every: int = 5,
+    floor_patience: int = 9,
+    reduce_axis=None,
+    use_p: bool = True,
+) -> SolveResult:
+    """LOBPCG on pair blocks; returns SolveResult with ``x`` as a pair."""
+    m = x0[0].shape[0]
+    rdtype = x0[0].dtype
+    tiny = float(jnp.finfo(rdtype).tiny ** 0.5)
+    dim = 1
+    for d in x0[0].shape[1:]:
+        dim *= d
+    noise_floor = 30.0 * (dim ** 0.5) * float(jnp.finfo(rdtype).eps)
+    bshape = (-1,) + (1,) * (x0[0].ndim - 1)
+
+    if shift != 0.0:
+        h_in = h_func
+        sh = jnp.asarray(shift, rdtype)
+        h_func = lambda v: _axpy(sh, v, h_in(v))
+
+    shape = x0[0].shape
+
+    def flat(a: Pair) -> Pair:
+        return (a[0].reshape(m, -1), a[1].reshape(m, -1))
+
+    def unflat(a: Pair) -> Pair:
+        return (a[0].reshape(shape), a[1].reshape(shape))
+
+    ones_m = jnp.ones((m,), rdtype)
+
+    # ---- initialization: orthonormalize + Ritz-rotate ----------------------
+    x = x0
+    n0 = rr.colnorms_p(flat(x), axis_name=reduce_axis)
+    x = rr.scale_cols_p(x, 1.0 / jnp.maximum(n0, tiny))
+    xf, _, _ = rr.masked_svqb_drop_p(flat(x), ones_m, noise_floor,
+                                     axis_name=reduce_axis, passes=1)
+    hxf = flat(h_func(unflat(xf)))
+    t_re, t_im = rr.gram_f64_p(xf, hxf, axis_name=reduce_axis)
+    rr_split = rr.split_for(rdtype)
+    theta0, v_re, v_im = rr.eigh_f64_embedding(
+        0.5 * (t_re + t_re.T), 0.5 * (t_im - t_im.T), split=rr_split)
+    c0 = (v_re.astype(rdtype), v_im.astype(rdtype))
+    xf = rr.mix_pair(c0, xf)
+    hxf = rr.mix_pair(c0, hxf)
+    lambdas0 = theta0.astype(rdtype)
+
+    zeros_f = (jnp.zeros_like(xf[0]), jnp.zeros_like(xf[1]))
+    state0 = dict(
+        it=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        lambdas=lambdas0,
+        x=xf, hx=hxf, p=zeros_f, hp=zeros_f,
+        res_his=jnp.full((maxiter,), jnp.nan, rdtype),
+        best_res=jnp.asarray(jnp.inf, rdtype),
+        best_it=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond_fun(s):
+        return (s["status"] == Status.RUNNING) & (s["it"] < maxiter)
+
+    def body_fun(s):
+        it = s["it"]
+        do_refresh = ((refresh_every > 0) & (it > 0)
+                      & (jnp.mod(it, refresh_every) == 0))
+        hx_cur = lax.cond(do_refresh,
+                          lambda: flat(h_func(unflat(s["x"]))),
+                          lambda: s["hx"])
+        hp_cur = lax.cond(do_refresh,
+                          lambda: flat(h_func(unflat(s["p"]))),
+                          lambda: s["hp"])
+
+        lam_col = s["lambdas"][:, None]
+        r = (lam_col * s["x"][0] - hx_cur[0],
+             lam_col * s["x"][1] - hx_cur[1])
+        res = rr.colnorms_p(r, axis_name=reduce_axis)
+        res_max = jnp.max(res[:nev])
+        res_nev = jnp.linalg.norm(res[:nev])
+        res_his = s["res_his"].at[it].set(res_nev)
+        first_rec = res_his[1]
+
+        # 5% improvement threshold: oscillation-proof at the c64 floor
+        # (see lobpcg.lobpcg_sep for the measured rationale).
+        improved = res_max < s["best_res"] * 0.95
+        best_res = jnp.where(improved, res_max, s["best_res"])
+        best_it = jnp.where(improved, it, s["best_it"])
+        # Scale-aware admissibility gate (see lobpcg.lobpcg_sep): FLOOR only
+        # when the residual is plausibly at the dtype's attainable level.
+        floor_gate = (10.0 * noise_floor / 30.0
+                      * jnp.maximum(jnp.max(jnp.abs(s["lambdas"])), 1.0))
+        floored = ((floor_patience > 0) & (it - best_it > floor_patience)
+                   & (it > 3) & (res_max < first_rec)
+                   & (res_max < floor_gate))
+
+        is_nan = jnp.isnan(res).any()
+        converged = res_max < tol
+        stagn = (
+            ((it > maxstagniter) & ((res[0] > 1000.0) | (res[0] > first_rec)))
+            | ((it > 2 * maxstagniter) & (res[0] > 50.0))
+        )
+        recovering = res_nev < res_his[maxstagniter // 2] * 0.1
+        blowup = stagn & ~recovering
+
+        status = jnp.where(
+            is_nan, Status.NAN,
+            jnp.where(converged, Status.CONVERGED,
+                      jnp.where(blowup, Status.BLOWUP,
+                                jnp.where(floored, Status.FLOOR,
+                                          Status.RUNNING))),
+        ).astype(jnp.int32)
+
+        s = dict(s, hx=hx_cur, hp=hp_cur, best_res=best_res, best_it=best_it)
+
+        def finish(_):
+            return dict(s, it=it, status=status, res_his=res_his)
+
+        def step(_):
+            active = (res > tol).astype(rdtype) if locking else ones_m
+            acol = active[:, None]
+            xf, hxf = s["x"], s["hx"]
+
+            w = p_func(unflat((acol * r[0], acol * r[1])))
+            wf = flat(w)
+            wf = (acol * wf[0], acol * wf[1])
+            wn = rr.colnorms_p(wf, axis_name=reduce_axis)
+            wf = rr.scale_cols_p(wf, 1.0 / jnp.maximum(wn, tiny))
+            wf, _, w_ok = rr.masked_svqb_drop_p(
+                wf, active, noise_floor, against=(xf,),
+                axis_name=reduce_axis, passes=ortho_passes)
+            hwf = flat(h_func(unflat(wf)))
+
+            p_act = active * (it > 0) * (1.0 if use_p else 0.0)
+            pc = p_act[:, None]
+            pf = (pc * s["p"][0], pc * s["p"][1])
+            hpf = (pc * s["hp"][0], pc * s["hp"][1])
+            pn = rr.colnorms_p(pf, axis_name=reduce_axis)
+            inv_pn = (1.0 / jnp.maximum(pn, tiny))[:, None]
+            pf = (inv_pn * pf[0], inv_pn * pf[1])
+            hpf = (inv_pn * hpf[0], inv_pn * hpf[1])
+            pf, hpf, p_ok = rr.masked_svqb_drop_p(
+                pf, p_act, noise_floor, hblock=hpf,
+                against=(xf, wf), h_against=(hxf, hwf),
+                axis_name=reduce_axis, passes=ortho_passes)
+
+            basis_mask = jnp.concatenate((ones_m, w_ok, p_ok))
+            blocks = (xf, wf, pf)
+            hblocks = (hxf, hwf, hpf)
+
+            rows_re = [[None] * 3 for _ in range(3)]
+            rows_im = [[None] * 3 for _ in range(3)]
+            for i, bi in enumerate(blocks):
+                for jj, hbj in enumerate(hblocks):
+                    tre, tim = rr.gram_f64_p(bi, hbj, axis_name=reduce_axis)
+                    rows_re[i][jj] = tre
+                    rows_im[i][jj] = tim
+            t_re = jnp.block(rows_re)
+            t_im = jnp.block(rows_im)
+            keep64 = (basis_mask[:, None] * basis_mask[None, :]).astype(
+                jnp.float64)
+            t_re = 0.5 * (t_re + t_re.T) * keep64
+            t_im = 0.5 * (t_im - t_im.T) * keep64
+            dead_val = jnp.sqrt(jnp.sum(t_re ** 2) + jnp.sum(t_im ** 2)) + 1.0
+            t_re = t_re - dead_val * jnp.diag(1.0 - basis_mask).astype(
+                jnp.float64)
+            theta_all, v_re, v_im = rr.eigh_f64_embedding(t_re, t_im,
+                                                          split=rr_split)
+            theta_all = theta_all.astype(rdtype)
+            bm = basis_mask[:, None].astype(rdtype)
+            c_all = (v_re.astype(rdtype) * bm, v_im.astype(rdtype) * bm)
+
+            n_dead = (3 * m - jnp.sum(basis_mask)).astype(jnp.int32)
+            theta = lax.dynamic_slice(theta_all, (n_dead,), (m,))
+            c_re = lax.dynamic_slice(c_all[0], (jnp.int32(0), n_dead),
+                                     (3 * m, m))
+            c_im = lax.dynamic_slice(c_all[1], (jnp.int32(0), n_dead),
+                                     (3 * m, m))
+
+            cx = (c_re[:m], c_im[:m])
+            cw = (c_re[m:2 * m], c_im[m:2 * m])
+            cp = (c_re[2 * m:], c_im[2 * m:])
+
+            pw = rr.mix_pair(cw, wf)
+            pp = rr.mix_pair(cp, pf)
+            p_new = (pw[0] + pp[0], pw[1] + pp[1])
+            hw = rr.mix_pair(cw, hwf)
+            hp2 = rr.mix_pair(cp, hpf)
+            hp_new = (hw[0] + hp2[0], hw[1] + hp2[1])
+            xc = rr.mix_pair(cx, xf)
+            x_new = (xc[0] + p_new[0], xc[1] + p_new[1])
+            hxc = rr.mix_pair(cx, hxf)
+            hx_new = (hxc[0] + hp_new[0], hxc[1] + hp_new[1])
+
+            nan_rr = jnp.isnan(theta).any()
+            new_status = jnp.where(nan_rr, Status.NAN,
+                                   Status.RUNNING).astype(jnp.int32)
+            return dict(
+                it=it + 1, status=new_status, lambdas=theta,
+                x=x_new, hx=hx_new, p=p_new, hp=hp_new,
+                res_his=res_his, best_res=best_res, best_it=best_it,
+            )
+
+        return lax.cond(status != Status.RUNNING, finish, step, None)
+
+    final = lax.while_loop(cond_fun, body_fun, state0)
+    status = jnp.where(final["status"] == Status.RUNNING,
+                       Status.MAXITER, final["status"]).astype(jnp.int32)
+    return SolveResult(
+        lambdas=final["lambdas"] - jnp.asarray(shift, rdtype),
+        x=unflat(final["x"]),
+        iterations=final["it"],
+        status=status,
+        res_history=final["res_his"],
+    )

@@ -141,6 +141,30 @@ def gram_f64(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 65536,
     return re, im
 
 
+def split_for(rdtype, svqb: bool = False) -> float:
+    """Degeneracy-splitting size for :func:`eigh_f64_embedding`, chosen by
+    the ITERATE dtype (the Gram/T matrices are always f64, but their entries
+    carry the iterate's noise).
+
+    f32 iterates: Gram entries carry ~eps_f32 relative noise, so the graded
+    perturbation must DOMINATE it (1e-7) for the pair-selection to see
+    deterministically separated clusters; the induced eigenvalue bias
+    (<= 1e-7 * scale) sits at the data's own noise level, costing nothing.
+    Measured: split=1e-12 under f32 noise contaminated SVQB/Ritz bases of
+    degenerate photonic bands at ~5e-4.
+
+    f64 iterates: 1e-10 (Rayleigh-Ritz) / 1e-12 (SVQB Grams, whose small
+    eigenvalues ~1e-9*scale are meaningful directions) stay far above the
+    f64 backward error and far below target accuracy.  A 1e-7 perturbation
+    there scrambles legitimately small Gram eigenvalues and STALLS
+    convergence (measured: n=8 f64 sweep stalls at res ~0.3 vs converging
+    in 86 iterations at 1e-12).
+    """
+    if jnp.dtype(rdtype) == jnp.float32:
+        return 1e-7
+    return 1e-12 if svqb else 1e-10
+
+
 def eigh_f64_embedding(t_re: jnp.ndarray, t_im: jnp.ndarray,
                        split: float = 1e-10) -> Tuple[jnp.ndarray, ...]:
     """complex128-equivalent Hermitian eigh, entirely on device, via the
@@ -154,8 +178,10 @@ def eigh_f64_embedding(t_re: jnp.ndarray, t_im: jnp.ndarray,
     Degenerate complex eigenvalues (multiplicity d -> embedding 2d) would
     make every-other-column selection unsafe, so a deterministic graded
     diagonal perturbation of size ``split * scale`` separates all complex
-    eigenvalues first; the perturbation (default 1e-10 relative) is far
-    above the f64 backward error and far below the accuracy we need.
+    eigenvalues first.  ``split`` balances eigenvector mixing (~eps/delta
+    for clusters separated by delta) against the eigenvalue bias it induces
+    (<= split * scale); it must also dominate the DATA noise of the input
+    matrix — see :func:`split_for` for the dtype-aware choice.
 
     Inputs: t_re symmetric, t_im antisymmetric, both (p, p) f64.
     Returns (w (p,) f64 ascending, v_re (p, p) f64, v_im (p, p) f64).
@@ -166,7 +192,22 @@ def eigh_f64_embedding(t_re: jnp.ndarray, t_im: jnp.ndarray,
     t_re = t_re + jnp.diag(pert)
     m = jnp.block([[t_re, -t_im], [t_im, t_re]])
     w2, u = jnp.linalg.eigh(m)
-    return w2[::2], u[:p, ::2], u[p:, ::2]
+    vr, vi = u[:p, ::2], u[p:, ::2]
+    # Within a cluster tighter than the graded perturbation resolves, the
+    # f64 eigh mixes J-pair partners across the cluster's complex lines:
+    # the selected columns are then real-orthonormal but NOT complex-
+    # orthonormal (Im<z_i, z_j> ~ eps/delta; measured 5e-4 floors in both
+    # SVQB output and LOBPCG residuals).  Two Newton-Schulz Loewdin steps
+    # V <- 1.5 V - 0.5 V (V^H V) restore complex orthonormality
+    # quadratically (5e-4 -> 2.5e-7 -> 6e-14) while only rotating within
+    # clusters, so eigenpair accuracy is untouched.  Cost: 12 (p, p) f64
+    # GEMMs, negligible next to the (2p, 2p) eigh.
+    for _ in range(2):
+        sr = vr.T @ vr + vi.T @ vi
+        si = vr.T @ vi - vi.T @ vr
+        vr, vi = (1.5 * vr - 0.5 * (vr @ sr - vi @ si),
+                  1.5 * vi - 0.5 * (vr @ si + vi @ sr))
+    return w2[::2], vr, vi
 
 
 def eigh_embedding_refined(t_re: jnp.ndarray, t_im: jnp.ndarray,
@@ -331,7 +372,9 @@ def masked_svqb_drop(block: jnp.ndarray, mask: jnp.ndarray, drop_tol: float,
     cdtype = block.dtype
     rdtype = real_dtype(cdtype)
     mask = mask.astype(jnp.float64)
-    split = 1e-12   # degeneracy-splitting perturbation of the embedding eigh
+    split = split_for(rdtype, svqb=True)
+    # Drop floor relative to gscale: 1e-6 (f32 noise level) / 1e-9 (f64).
+    lam_fac = 10.0 if jnp.dtype(rdtype) == jnp.float32 else 1e3
 
     hb = hblock if hblock is not None else jnp.zeros((m, 0), cdtype)
     for _ in range(passes):
@@ -350,7 +393,7 @@ def masked_svqb_drop(block: jnp.ndarray, mask: jnp.ndarray, drop_tol: float,
         # as 1/sqrt(lambda)-amplified junk columns (phantom Ritz values).
         gscale = jnp.max(jnp.abs(g_re)) + jnp.max(jnp.abs(g_im))
         lam_min = jnp.maximum(jnp.asarray(float(drop_tol) ** 2, jnp.float64),
-                              1e3 * split * gscale)
+                              lam_fac * split * gscale)
         w, vr, vi = eigh_f64_embedding(g_re, g_im, split=split)
         ok = (w > lam_min).astype(jnp.float64)
         scale = ok / jnp.sqrt(jnp.maximum(w, lam_min))
@@ -404,6 +447,116 @@ def project_off(block: jnp.ndarray, basis: jnp.ndarray,
     if hblock is not None:
         hblock = hblock - mix(coeff, hbasis)
     return block, hblock
+
+
+# ---------------------------------------------------------------------------
+# Pair-layout ("real-split") kernels: complex vectors carried as (re, im)
+# tuples of REAL arrays.  On TPU every complex GEMM otherwise pays
+# materialized .real/.imag splits and a recombine pass per call (measured
+# ~2-3x the pure-traffic cost at N=96); on pairs the four real dot_generals
+# read the operands directly.  Used by solvers.lobpcg_rs.
+# ---------------------------------------------------------------------------
+
+def gram_f64_p(x, y, chunk: int = 65536, axis_name=None):
+    """f64-accumulated Gram of PAIR row-blocks x=(xr, xi), y=(yr, yi) of
+    shape (p, D): G[i, j] = <x_i, y_j>.  Pair twin of :func:`gram_f64`."""
+    xr, xi = x
+    yr, yi = y
+    p, d = xr.shape
+    q = yr.shape[0]
+    nc = -(-d // chunk)
+    pad = nc * chunk - d
+    if pad:
+        xr, xi, yr, yi = (jnp.pad(a, ((0, 0), (0, pad)))
+                          for a in (xr, xi, yr, yi))
+    resh = lambda a, k: a.reshape(k, nc, chunk)
+    xr, xi = resh(xr, p), resh(xi, p)
+    yr, yi = resh(yr, q), resh(yi, q)
+    dims = (((2,), (2,)), ((1,), (1,)))   # batch over chunks, no transpose
+    rd = lambda a, b: lax.dot_general(a, b, dims,
+                                      precision=lax.Precision.HIGHEST)
+    f64 = jnp.float64
+    re = jnp.sum(rd(xr, yr).astype(f64) + rd(xi, yi).astype(f64), axis=0)
+    im = jnp.sum(rd(xr, yi).astype(f64) - rd(xi, yr).astype(f64), axis=0)
+    if axis_name is not None:
+        re = lax.psum(re, axis_name)
+        im = lax.psum(im, axis_name)
+    return re, im
+
+
+def gram_p32(x, y, axis_name=None):
+    """Plain f32 Gram of pair row-blocks (for projections, where the
+    coefficient only needs working precision)."""
+    dims = (((1,), (1,)), ((), ()))
+    rd = lambda a, b: lax.dot_general(a, b, dims,
+                                      precision=lax.Precision.HIGHEST)
+    re = rd(x[0], y[0]) + rd(x[1], y[1])
+    im = rd(x[0], y[1]) - rd(x[1], y[0])
+    if axis_name is not None:
+        re = lax.psum(re, axis_name)
+        im = lax.psum(im, axis_name)
+    return re, im
+
+
+def mix_pair(c, blocks):
+    """out_j = sum_i c[i, j] blocks_i on pairs; c = (cr, ci) small (p, q)."""
+    dims = (((0,), (0,)), ((), ()))
+    rd = lambda a, b: lax.dot_general(a, b, dims,
+                                      precision=lax.Precision.HIGHEST)
+    cr, ci = c
+    br, bi = blocks
+    return (rd(cr, br) - rd(ci, bi), rd(cr, bi) + rd(ci, br))
+
+
+def colnorms_p(x, axis_name=None):
+    n2 = jnp.sum(x[0] * x[0] + x[1] * x[1],
+                 axis=tuple(range(1, x[0].ndim)))
+    if axis_name is not None:
+        n2 = lax.psum(n2, axis_name)
+    return jnp.sqrt(n2)
+
+
+def scale_cols_p(x, s):
+    shape = (-1,) + (1,) * (x[0].ndim - 1)
+    sc = s.reshape(shape).astype(x[0].dtype)
+    return (x[0] * sc, x[1] * sc)
+
+
+def masked_svqb_drop_p(block, mask, drop_tol, hblock=None,
+                       against=(), h_against=(), axis_name=None,
+                       passes: int = 2):
+    """Pair twin of :func:`masked_svqb_drop` (same drop rule and guarantees);
+    block/hblock/against are pairs of (p, D) real arrays."""
+    rdtype = block[0].dtype
+    mask = mask.astype(jnp.float64)
+    split = split_for(rdtype, svqb=True)
+    lam_fac = 10.0 if jnp.dtype(rdtype) == jnp.float32 else 1e3
+
+    hb = hblock
+    for _ in range(passes):
+        for base, hbase in zip(against, h_against or [None] * len(against)):
+            coeff = gram_p32(base, block, axis_name=axis_name)
+            d = mix_pair(coeff, base)
+            block = (block[0] - d[0], block[1] - d[1])
+            if hb is not None and hbase is not None:
+                dh = mix_pair(coeff, hbase)
+                hb = (hb[0] - dh[0], hb[1] - dh[1])
+        keep = (mask[:, None] * mask[None, :])
+        g_re, g_im = gram_f64_p(block, block, axis_name=axis_name)
+        g_re = 0.5 * (g_re + g_re.T) * keep
+        g_im = 0.5 * (g_im - g_im.T) * keep
+        gscale = jnp.max(jnp.abs(g_re)) + jnp.max(jnp.abs(g_im))
+        lam_min = jnp.maximum(jnp.asarray(float(drop_tol) ** 2, jnp.float64),
+                              lam_fac * split * gscale)
+        w, vr, vi = eigh_f64_embedding(g_re, g_im, split=split)
+        ok = (w > lam_min).astype(jnp.float64)
+        scale = ok / jnp.sqrt(jnp.maximum(w, lam_min))
+        coeff = ((vr * scale).astype(rdtype), (vi * scale).astype(rdtype))
+        block = mix_pair(coeff, block)
+        if hb is not None:
+            hb = mix_pair(coeff, hb)
+        mask = ok
+    return block, hb, mask.astype(rdtype)
 
 
 def power_method(a_func, x0: jnp.ndarray, maxiter: int = 1000,

@@ -196,3 +196,66 @@ def test_lobpcg_svd_smallest(rng):
     res = lobpcg_svd(lambda v: v @ aj.T, lambda v: v @ aj.conj(), x0, 3,
                      tol=1e-9, maxiter=400)
     np.testing.assert_allclose(np.asarray(res.lambdas[:3]), want, rtol=1e-4)
+
+
+def test_pair_solver_matches_complex_dense(rng):
+    """lobpcg_sep_rs (pair layout, the TPU production path) must reproduce
+    the complex solver's eigenvalues on a dense Hermitian problem."""
+    from pcx.solvers.lobpcg_rs import lobpcg_sep_rs
+    n, nev = 100, 5
+    a = _random_hpd(n, rng)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    x0c = (rng.normal(size=(nev + 4, n))
+           + 1j * rng.normal(size=(nev + 4, n)))
+    ar = jnp.asarray(a.real, jnp.float64)
+    ai = jnp.asarray(a.imag, jnp.float64)
+
+    def h_pair(v):
+        # pair form of the complex solver's h(v) = v @ a.T (rows = vectors)
+        return (v[0] @ ar.T - v[1] @ ai.T, v[0] @ ai.T + v[1] @ ar.T)
+
+    ident = lambda v: v
+    x0p = (jnp.asarray(x0c.real), jnp.asarray(x0c.imag))
+    res = lobpcg_sep_rs(h_pair, ident, x0p, nev, tol=1e-8, maxiter=300)
+    assert int(res.status) == 1
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                               rtol=1e-6)
+
+
+def test_pair_solver_matches_complex_maxwell(rng):
+    """End-to-end KPointSolver equivalence: solver_impl='rs' vs 'complex'
+    on the Maxwell problem (c64, matmul DFT) for both dielectric families."""
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+    alpha = np.array([np.pi, 0.0, 0.0])
+    for diel in ("chiral", "pseudochiral_crossdof"):
+        cfg = ProblemConfig(n=12, lattice="sc_curv", diel_type=diel, nev=4)
+        sc = KPointSolver(cfg, dtype=jnp.complex64, solver_impl="complex",
+                          fft_mode="matmul", refine=False)
+        sr = KPointSolver(cfg, dtype=jnp.complex64, solver_impl="rs",
+                          refine=False)
+        rc = sc.solve(alpha, seed=0)
+        rp = sr.solve(alpha, seed=0)
+        assert np.abs(rp.omega - rp.omega_re).max() < 1e-3
+        np.testing.assert_allclose(rp.omega_re, rc.omega_re, atol=2e-5)
+
+
+def test_masked_svqb_drop_pair_matches_complex(rng):
+    """Pair and complex SVQB agree on surviving spans and masks."""
+    from pcx.solvers import rayleigh_ritz as rr
+    m, d = 8, 300
+    b = rng.normal(size=(m, d)) + 1j * rng.normal(size=(m, d))
+    b[3] = b[1] * (2.0 + 1j) + 1e-12 * b[0]   # dependent row
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    mask = np.ones(m)
+    qc, _, mc = rr.masked_svqb_drop(jnp.asarray(b), jnp.asarray(mask), 1e-5)
+    qp, _, mp = rr.masked_svqb_drop_p(
+        (jnp.asarray(b.real), jnp.asarray(b.imag)), jnp.asarray(mask), 1e-5)
+    np.testing.assert_allclose(np.asarray(mc), np.asarray(mp))
+    assert int(np.asarray(mc).sum()) == m - 1     # one direction dropped
+    # surviving rows orthonormal
+    q = np.asarray(qp[0]) + 1j * np.asarray(qp[1])
+    g = q @ q.conj().T
+    keep = np.asarray(mp).astype(bool)
+    np.testing.assert_allclose(g[np.ix_(keep, keep)], np.eye(m - 1),
+                               atol=1e-9)
