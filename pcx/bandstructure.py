@@ -85,7 +85,10 @@ class KPointSolver:
             # nearly parallel, and the identity-Gram RR then produces
             # below-spectrum phantom difference-eigenvalues; more frequent
             # HX/HP refreshes bound recombination drift.
-            self.solver_opts.setdefault("ortho_passes", 2)
+            # passes = 1 eigh pass + (passes-1) Gram-NS refinements; 3 keeps
+            # orthonormality at the f32 noise floor even when the pass-1
+            # embedding eigh degrades in a degenerate cluster (TPU).
+            self.solver_opts.setdefault("ortho_passes", 3)
             self.solver_opts.setdefault("refresh_every", 5)
         # Real-boundary mode: complex data crosses every jit boundary as
         # (..., 2) real arrays (the axon TPU backend cannot transfer complex

@@ -187,10 +187,18 @@ def eigh_f64_embedding(t_re: jnp.ndarray, t_im: jnp.ndarray,
     Returns (w (p,) f64 ascending, v_re (p, p) f64, v_im (p, p) f64).
     """
     p = t_re.shape[0]
-    scale = jnp.max(jnp.abs(t_re)) + jnp.max(jnp.abs(t_im)) + 1e-300
+    scale = jnp.max(jnp.abs(t_re)) + jnp.max(jnp.abs(t_im)) + 1e-30
     pert = split * scale * (jnp.arange(p, dtype=jnp.float64) / p)
-    t_re = t_re + jnp.diag(pert)
-    m = jnp.block([[t_re, -t_im], [t_im, t_re]])
+    # Protective diagonal shift: the TPU's emulated f64 eigh returns all-NaN
+    # when an eigenvalue sits at ~1e-13 RELATIVE to the matrix scale
+    # (reproduced on a captured LOBPCG Gram; ANY shift >= 1e-6*scale cures
+    # it).  A constant shift leaves eigenvectors exactly unchanged and is
+    # subtracted back from the eigenvalues.  Structural zeros (phantom or
+    # exactly-dead directions) land at +1e-3*scale, far from the trigger;
+    # the negative dead-column sentinel (~ -||T||_F) is equally safe.
+    shift = 1e-3 * scale
+    a_re = t_re + jnp.diag(pert) + shift * jnp.eye(p, dtype=jnp.float64)
+    m = jnp.block([[a_re, -t_im], [t_im, a_re]])
     w2, u = jnp.linalg.eigh(m)
     vr, vi = u[:p, ::2], u[p:, ::2]
     # Within a cluster tighter than the graded perturbation resolves, the
@@ -207,7 +215,65 @@ def eigh_f64_embedding(t_re: jnp.ndarray, t_im: jnp.ndarray,
         si = vr.T @ vi - vi.T @ vr
         vr, vi = (1.5 * vr - 0.5 * (vr @ sr - vi @ si),
                   1.5 * vi - 0.5 * (vr @ si + vi @ sr))
-    return w2[::2], vr, vi
+    # Newton eigenvector refinement.  The TPU's f64 eigh computes f64
+    # eigenvalues but only ~f32-quality EIGENVECTORS (measured residual
+    # ~1.5e-8 * ||A|| at every scale; CPU is 1e-15).  Downstream this is
+    # fatal: in SVQB the 1/sqrt(w) scaling amplifies the eigh's cross-
+    # magnitude mixing (~eps_vec/gap) into nearly-dependent basis columns,
+    # which breed below-spectrum phantom Ritz values (observed: theta_min
+    # decaying geometrically to 1e-10 and a residual floor 1e4x above CPU).
+    # Since f64 GEMMs ARE exact on this backend, two first-order
+    # perturbation corrections V <- V (I + K), K_ij = E_ij / (d_j - d_i)
+    # with R = V^H A V = diag(d) + E, restore f64-quality vectors for all
+    # pairs separated by more than the gap gate; mixing within tighter
+    # clusters is left (a free rotation, harmless downstream).
+    for _ in range(2):
+        # R = V^H A V in complex pair arithmetic (A = a_re + i t_im)
+        av_r = a_re @ vr - t_im @ vi
+        av_i = a_re @ vi + t_im @ vr
+        r_re = vr.T @ av_r + vi.T @ av_i
+        r_im = vr.T @ av_i - vi.T @ av_r
+        d = jnp.diag(r_re)
+        e_re = r_re - jnp.diag(d)
+        e_im = r_im - jnp.diag(jnp.diag(r_im))
+        denom = d[None, :] - d[:, None]
+        dscale = jnp.max(jnp.abs(d)) + 1e-30
+        gate = 1e-6 * dscale
+        # The first-order formula is a CONTRACTION only for |K| << 1.  In a
+        # tight cluster the eigh misassigns directions, making |E_ij| as
+        # large as the gap itself: K ~ O(1) would push V(I+K) far from
+        # unitary and the NS polish below then DIVERGES (overflow -> NaN in
+        # the f32-pair-emulated f64).  Correct only pairs whose rotation is
+        # provably small (|E| < 0.1 |gap|); the rest is intra-cluster mixing,
+        # which is a free rotation downstream.  No inf/NaN may enter the
+        # emulated-f64 path (double-word arithmetic propagates them as NaN
+        # through its compensation sums): gate via where-on-the-result with
+        # a finite dummy denominator.
+        e_mag = jnp.sqrt(e_re * e_re + e_im * e_im)
+        wide = jnp.abs(denom) >= jnp.maximum(gate, 10.0 * e_mag)
+        denom_safe = jnp.where(wide, denom, 1.0)
+        k_re = jnp.where(wide, e_re / denom_safe, 0.0)
+        k_im = jnp.where(wide, e_im / denom_safe, 0.0)
+        # V <- V + V K (complex)
+        vr, vi = (vr + (vr @ k_re - vi @ k_im),
+                  vi + (vr @ k_im + vi @ k_re))
+        # re-orthonormalize the corrected columns (one NS step suffices:
+        # the correction is O(1e-2) at worst near the gap gate)
+        for _ in range(2):
+            sr = vr.T @ vr + vi.T @ vi
+            si = vr.T @ vi - vi.T @ vr
+            vr, vi = (1.5 * vr - 0.5 * (vr @ sr - vi @ si),
+                      1.5 * vi - 0.5 * (vr @ si + vi @ sr))
+    # f64-exact Rayleigh quotients of the refined vectors, shift removed.
+    av_r = a_re @ vr - t_im @ vi
+    av_i = a_re @ vi + t_im @ vr
+    theta = (jnp.sum(vr * av_r + vi * av_i, axis=0)
+             / jnp.maximum(jnp.sum(vr * vr + vi * vi, axis=0), 1e-30))
+    theta = theta - shift
+    # refinement only rotates within tight clusters, but re-sort to keep
+    # the ascending contract exact.
+    order = jnp.argsort(theta)
+    return theta[order], vr[:, order], vi[:, order]
 
 
 def eigh_embedding_refined(t_re: jnp.ndarray, t_im: jnp.ndarray,
@@ -219,7 +285,7 @@ def eigh_embedding_refined(t_re: jnp.ndarray, t_im: jnp.ndarray,
     eigenvectors.  Use when the emulated f64 eigh dominates the iteration.
     """
     p = t_re.shape[0]
-    scale = jnp.max(jnp.abs(t_re)) + jnp.max(jnp.abs(t_im)) + 1e-300
+    scale = jnp.max(jnp.abs(t_re)) + jnp.max(jnp.abs(t_im)) + 1e-30
     pert = split * scale * (jnp.arange(p, dtype=jnp.float64) / p)
     t_re = t_re + jnp.diag(pert)
     m32 = jnp.block([[t_re, -t_im], [t_im, t_re]]).astype(jnp.float32)
@@ -231,7 +297,7 @@ def eigh_embedding_refined(t_re: jnp.ndarray, t_im: jnp.ndarray,
     tr_vi = t_re @ vi + t_im @ vr
     num = jnp.sum(vr * tr_vr + vi * tr_vi, axis=0)
     den = jnp.sum(vr * vr + vi * vi, axis=0)
-    theta = num / jnp.maximum(den, 1e-300)
+    theta = num / jnp.maximum(den, 1e-30)
     # eigh ordering is ascending in f32; re-sort after refinement.
     order = jnp.argsort(theta)
     return theta[order], vr[:, order], vi[:, order]
@@ -243,7 +309,7 @@ def _loewdin_mixer(g_re: jnp.ndarray, g_im: jnp.ndarray, jitter: float):
     f64 (re, im).  Eigenvalues are clamped at ``jitter * max`` so the mixer
     is always finite."""
     w, vr, vi = eigh_f64_embedding(g_re, g_im)
-    w = jnp.maximum(w, jitter * jnp.maximum(w[-1], 1e-300))
+    w = jnp.maximum(w, jitter * jnp.maximum(w[-1], 1e-30))
     d = 1.0 / jnp.sqrt(w)
     vrd, vid = vr * d, vi * d
     s_re = vrd @ vr.T + vid @ vi.T
@@ -361,8 +427,17 @@ def masked_svqb_drop(block: jnp.ndarray, mask: jnp.ndarray, drop_tol: float,
          output rows are zeroed and masked out, never jitter-inflated
          (jitter-clamping is what bred below-spectrum phantom Ritz values);
       4. mix with V diag(ok / sqrt(eigval)): surviving rows are orthonormal
-         to f64-Gram accuracy; a second pass (Gram ~ I, no drops) removes
-         the c64 mixing noise, like CholQR2.
+         to f64-Gram accuracy.
+
+    Passes after the first are GRAM-NS refinements, not repeated eighs:
+    B <- mix((3 diag(mask) - G)/2, B) with G the masked f64 Gram.  This is
+    one Newton-Schulz step toward orthonormality — quadratic (E -> 3E^2/4),
+    rank-safe, and immune to the eigh-in-a-degenerate-cluster pathology:
+    when the pass-1 output Gram is ~I, ALL its eigenvalues sit in one tight
+    cluster and an embedding eigh returns a nearly-singular complex V
+    (J-pair duplicate selection), which no polish can repair — measured as
+    a 1e-2 orthonormality floor on TPU.  The NS step needs no spectral
+    information at all.
 
     ``hblock``/``h_against`` are transformed consistently (no extra operator
     applies).  Returns (q, hq, new_mask); new_mask is eigen-ordered
@@ -377,7 +452,7 @@ def masked_svqb_drop(block: jnp.ndarray, mask: jnp.ndarray, drop_tol: float,
     lam_fac = 10.0 if jnp.dtype(rdtype) == jnp.float32 else 1e3
 
     hb = hblock if hblock is not None else jnp.zeros((m, 0), cdtype)
-    for _ in range(passes):
+    for pno in range(passes):
         for base, hbase in zip(against, h_against or [None] * len(against)):
             coeff = gram(base, block, axis_name=axis_name)
             block = block - mix(coeff, base)
@@ -387,22 +462,28 @@ def masked_svqb_drop(block: jnp.ndarray, mask: jnp.ndarray, drop_tol: float,
         g_re, g_im = gram_f64(block, block, axis_name=axis_name)
         g_re = 0.5 * (g_re + g_re.T) * keep
         g_im = 0.5 * (g_im - g_im.T) * keep
-        # The drop threshold must clear the eigh's degeneracy perturbation
-        # (split * gscale): otherwise exactly-dead directions get perturbed
-        # to eigenvalue ~split*gscale, survive a tiny drop_tol, and return
-        # as 1/sqrt(lambda)-amplified junk columns (phantom Ritz values).
-        gscale = jnp.max(jnp.abs(g_re)) + jnp.max(jnp.abs(g_im))
-        lam_min = jnp.maximum(jnp.asarray(float(drop_tol) ** 2, jnp.float64),
-                              lam_fac * split * gscale)
-        w, vr, vi = eigh_f64_embedding(g_re, g_im, split=split)
-        ok = (w > lam_min).astype(jnp.float64)
-        scale = ok / jnp.sqrt(jnp.maximum(w, lam_min))
-        c_re = (vr * scale).astype(rdtype)
-        c_im = (vi * scale).astype(rdtype)
+        if pno == 0:
+            # The drop threshold must clear the eigh's degeneracy
+            # perturbation (split * gscale): otherwise exactly-dead
+            # directions get perturbed to eigenvalue ~split*gscale, survive
+            # a tiny drop_tol, and return as 1/sqrt(lambda)-amplified junk
+            # columns (phantom Ritz values).
+            gscale = jnp.max(jnp.abs(g_re)) + jnp.max(jnp.abs(g_im))
+            lam_min = jnp.maximum(
+                jnp.asarray(float(drop_tol) ** 2, jnp.float64),
+                lam_fac * split * gscale)
+            w, vr, vi = eigh_f64_embedding(g_re, g_im, split=split)
+            ok = (w > lam_min).astype(jnp.float64)
+            scale = ok / jnp.sqrt(jnp.maximum(w, lam_min))
+            c_re = (vr * scale).astype(rdtype)
+            c_im = (vi * scale).astype(rdtype)
+            mask = ok
+        else:
+            c_re = (1.5 * jnp.diag(mask) - 0.5 * g_re).astype(rdtype)
+            c_im = (-0.5 * g_im).astype(rdtype)
         coeff = jax.lax.complex(c_re, c_im).astype(cdtype)
         block = mix(coeff, block)
         hb = mix(coeff, hb)
-        mask = ok
     return (block, (hb if hblock is not None else None),
             mask.astype(rdtype))
 
@@ -533,7 +614,7 @@ def masked_svqb_drop_p(block, mask, drop_tol, hblock=None,
     lam_fac = 10.0 if jnp.dtype(rdtype) == jnp.float32 else 1e3
 
     hb = hblock
-    for _ in range(passes):
+    for pno in range(passes):
         for base, hbase in zip(against, h_against or [None] * len(against)):
             coeff = gram_p32(base, block, axis_name=axis_name)
             d = mix_pair(coeff, base)
@@ -545,17 +626,25 @@ def masked_svqb_drop_p(block, mask, drop_tol, hblock=None,
         g_re, g_im = gram_f64_p(block, block, axis_name=axis_name)
         g_re = 0.5 * (g_re + g_re.T) * keep
         g_im = 0.5 * (g_im - g_im.T) * keep
-        gscale = jnp.max(jnp.abs(g_re)) + jnp.max(jnp.abs(g_im))
-        lam_min = jnp.maximum(jnp.asarray(float(drop_tol) ** 2, jnp.float64),
-                              lam_fac * split * gscale)
-        w, vr, vi = eigh_f64_embedding(g_re, g_im, split=split)
-        ok = (w > lam_min).astype(jnp.float64)
-        scale = ok / jnp.sqrt(jnp.maximum(w, lam_min))
-        coeff = ((vr * scale).astype(rdtype), (vi * scale).astype(rdtype))
+        if pno == 0:
+            gscale = jnp.max(jnp.abs(g_re)) + jnp.max(jnp.abs(g_im))
+            lam_min = jnp.maximum(
+                jnp.asarray(float(drop_tol) ** 2, jnp.float64),
+                lam_fac * split * gscale)
+            w, vr, vi = eigh_f64_embedding(g_re, g_im, split=split)
+            ok = (w > lam_min).astype(jnp.float64)
+            scale = ok / jnp.sqrt(jnp.maximum(w, lam_min))
+            coeff = ((vr * scale).astype(rdtype),
+                     (vi * scale).astype(rdtype))
+            mask = ok
+        else:
+            # Gram-NS refinement pass (see masked_svqb_drop): quadratic,
+            # rank-safe, no eigh.
+            coeff = ((1.5 * jnp.diag(mask) - 0.5 * g_re).astype(rdtype),
+                     (-0.5 * g_im).astype(rdtype))
         block = mix_pair(coeff, block)
         if hb is not None:
             hb = mix_pair(coeff, hb)
-        mask = ok
     return block, hb, mask.astype(rdtype)
 
 
