@@ -26,18 +26,31 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 
 
-def _tpu_healthy(timeout_s: int = 150) -> bool:
+def _tpu_healthy(timeout_s: int = 420, retries: int = 2) -> bool:
     """Probe the accelerator in a SUBPROCESS (a wedged backend hangs the
-    probing process; the bench itself must survive to emit its JSON)."""
+    probing process; the bench itself must survive to emit its JSON).
+
+    The tunneled device is exclusive and takes MINUTES to release after
+    the previous process exits (measured 3m40s for a trivial program right
+    after a bench) — so the timeout is generous and the probe retries
+    after a cool-down rather than declaring the backend dead."""
     import subprocess
+    import time as _time
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jax.jit(lambda x:(x+1).sum())(jnp.ones(8))))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-        return r.returncode == 0 and b"16.0" in r.stdout
-    except Exception:
-        return False
+    for attempt in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout_s)
+            if r.returncode == 0 and b"16.0" in r.stdout:
+                return True
+        except Exception:
+            pass
+        if attempt + 1 < retries:
+            print("# TPU probe failed; cooling down 120 s and retrying",
+                  file=sys.stderr)
+            _time.sleep(120)
+    return False
 
 
 def main():

@@ -85,10 +85,11 @@ class KPointSolver:
             # nearly parallel, and the identity-Gram RR then produces
             # below-spectrum phantom difference-eigenvalues; more frequent
             # HX/HP refreshes bound recombination drift.
-            # passes = 1 eigh pass + (passes-1) Gram-NS refinements; 3 keeps
-            # orthonormality at the f32 noise floor even when the pass-1
-            # embedding eigh degrades in a degenerate cluster (TPU).
-            self.solver_opts.setdefault("ortho_passes", 3)
+            # passes = 1 eigh pass + (passes-1) Gram-NS refinements; the
+            # Newton-refined embedding eigh leaves pass-1 output orthonormal
+            # to ~e_vec*kappa, and one quadratic NS pass takes that to the
+            # f32 noise floor.
+            self.solver_opts.setdefault("ortho_passes", 2)
             self.solver_opts.setdefault("refresh_every", 5)
         # Real-boundary mode: complex data crosses every jit boundary as
         # (..., 2) real arrays (the axon TPU backend cannot transfer complex

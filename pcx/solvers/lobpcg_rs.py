@@ -193,18 +193,14 @@ def lobpcg_sep_rs(
                 axis_name=reduce_axis, passes=ortho_passes)
 
             basis_mask = jnp.concatenate((ones_m, w_ok, p_ok))
-            blocks = (xf, wf, pf)
-            hblocks = (hxf, hwf, hpf)
-
-            rows_re = [[None] * 3 for _ in range(3)]
-            rows_im = [[None] * 3 for _ in range(3)]
-            for i, bi in enumerate(blocks):
-                for jj, hbj in enumerate(hblocks):
-                    tre, tim = rr.gram_f64_p(bi, hbj, axis_name=reduce_axis)
-                    rows_re[i][jj] = tre
-                    rows_im[i][jj] = tim
-            t_re = jnp.block(rows_re)
-            t_im = jnp.block(rows_im)
+            # ONE stacked (3m, D) x (3m, D) Gram instead of 9 (m, m) calls:
+            # same FLOPs, 1/9 the dispatches, and 3x wider GEMMs on the MXU
+            # (profiled 2.5 ms vs 16 ms at N=96).
+            sf = (jnp.concatenate((xf[0], wf[0], pf[0])),
+                  jnp.concatenate((xf[1], wf[1], pf[1])))
+            hsf = (jnp.concatenate((hxf[0], hwf[0], hpf[0])),
+                   jnp.concatenate((hxf[1], hwf[1], hpf[1])))
+            t_re, t_im = rr.gram_f64_p(sf, hsf, axis_name=reduce_axis)
             keep64 = (basis_mask[:, None] * basis_mask[None, :]).astype(
                 jnp.float64)
             t_re = 0.5 * (t_re + t_re.T) * keep64

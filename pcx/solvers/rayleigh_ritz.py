@@ -452,6 +452,10 @@ def masked_svqb_drop(block: jnp.ndarray, mask: jnp.ndarray, drop_tol: float,
     lam_fac = 10.0 if jnp.dtype(rdtype) == jnp.float32 else 1e3
 
     hb = hblock if hblock is not None else jnp.zeros((m, 0), cdtype)
+    if len(against) > 1:
+        against = (jnp.concatenate(against),)
+        if h_against:
+            h_against = (jnp.concatenate(h_against),)
     for pno in range(passes):
         for base, hbase in zip(against, h_against or [None] * len(against)):
             coeff = gram(base, block, axis_name=axis_name)
@@ -614,6 +618,15 @@ def masked_svqb_drop_p(block, mask, drop_tol, hblock=None,
     lam_fac = 10.0 if jnp.dtype(rdtype) == jnp.float32 else 1e3
 
     hb = hblock
+    # Concatenate the projection bases ONCE: one wide Gram + one wide mix
+    # per pass instead of one pair per base (halves the big-block traffic
+    # and dispatches when projecting P off both X and W).
+    if len(against) > 1:
+        against = ((jnp.concatenate([a[0] for a in against]),
+                    jnp.concatenate([a[1] for a in against])),)
+        if h_against:
+            h_against = ((jnp.concatenate([a[0] for a in h_against]),
+                          jnp.concatenate([a[1] for a in h_against])),)
     for pno in range(passes):
         for base, hbase in zip(against, h_against or [None] * len(against)):
             coeff = gram_p32(base, block, axis_name=axis_name)
