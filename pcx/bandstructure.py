@@ -90,7 +90,14 @@ class KPointSolver:
             # to ~e_vec*kappa, and one quadratic NS pass takes that to the
             # f32 noise floor.
             self.solver_opts.setdefault("ortho_passes", 2)
-            self.solver_opts.setdefault("refresh_every", 5)
+            # Each refresh recomputes HX and HP (2 extra operator applies =
+            # ~+20% amortized at refresh_every=5); with the Newton-hardened
+            # orthonormalization the recombination drift is low enough for a
+            # longer period.  FLOOR patience past the best residual is pure
+            # overhead at the c64 floor (validation sits ~1e-7, far below
+            # the 1e-3 gate): 6 is ample with the scale-aware floor gate.
+            self.solver_opts.setdefault("refresh_every", 8)
+            self.solver_opts.setdefault("floor_patience", 6)
         # Real-boundary mode: complex data crosses every jit boundary as
         # (..., 2) real arrays (the axon TPU backend cannot transfer complex
         # buffers; complex arithmetic INSIDE programs is fine).  Auto-on for

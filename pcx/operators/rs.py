@@ -120,11 +120,34 @@ def _axis_dft_p(x: Pair, w: Pair, precision) -> Pair:
     return (re, im)
 
 
+def _w2(w: Pair) -> jnp.ndarray:
+    """(N, 2, N, 2) real twiddle for the STACKED one-dot axis DFT:
+    out[k, q] = sum_{j, p} s[j, p] * W2[j, p, k, q], i.e.
+    W2[:, 0, :, 0] = wr, W2[:, 1, :, 0] = -wi (out_re = re*wr - im*wi),
+    W2[:, 0, :, 1] = wi, W2[:, 1, :, 1] = wr (out_im = re*wi + im*wr)."""
+    wr, wi = w
+    row0 = jnp.stack([wr, wi], axis=-1)
+    row1 = jnp.stack([-wi, wr], axis=-1)
+    return jnp.stack([row0, row1], axis=1)
+
+
 def dft3_p(x: Pair, w: Pair,
            precision=lax.Precision.HIGHEST) -> Pair:
+    """3-D DFT on pairs via ONE real dot_general per axis.
+
+    The four-real-dot complex contraction reads each operand four times and
+    pays a layout normalization per dot (profiled ~3x the traffic roofline
+    per axis).  Stacking (re, im) as a trailing 2-axis and contracting
+    (axis, 2) jointly against the (N, 2, N, 2) real twiddle does the same
+    FLOPs in a single 2N-deep MXU pass per axis, reading the block once."""
+    w2 = _w2(w)
+    s = jnp.stack(x, axis=-1)
     for _ in range(3):
-        x = _axis_dft_p(x, w, precision)
-    return x
+        # s (..., a, b, c, 2): contract (a-axis, 2-axis) with w2 (0, 1);
+        # output appends (a', 2) last -> cyclic like the pair version.
+        dims = (((s.ndim - 4, s.ndim - 1), (0, 1)), ((), ()))
+        s = lax.dot_general(s, w2, dims, precision=precision)
+    return (s[..., 0], s[..., 1])
 
 
 # -- dielectric apply on pairs ------------------------------------------------

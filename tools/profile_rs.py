@@ -187,6 +187,67 @@ def main():
     timeit("colnorms_p", jax.jit(lambda x: rr.colnorms_p(x)), xf,
            reps=args.reps)
 
+    # --- one full solver iteration as a single program ---------------------
+    ones = jnp.ones((m,), jnp.float32)
+    rr_split = rr.split_for(jnp.float32)
+    tiny = float(jnp.finfo(jnp.float32).tiny ** 0.5)
+    unflat = lambda a: (a[0].reshape(shape5), a[1].reshape(shape5))
+
+    def full_iter(xf, hxf, pf, hpf, lambdas):
+        lam = lambdas[:, None]
+        r = (lam * xf[0] - hxf[0], lam * xf[1] - hxf[1])
+        res = rr.colnorms_p(r)
+        active = (res > 1e-4).astype(jnp.float32)
+        ac = active[:, None]
+        w = rs.h_block_p(unflat((ac * r[0], ac * r[1])), inv_diag, inv_sd)
+        wfl = (w[0].reshape(m, -1) * ac, w[1].reshape(m, -1) * ac)
+        wn = rr.colnorms_p(wfl)
+        wfl = rr.scale_cols_p(wfl, 1.0 / jnp.maximum(wn, tiny))
+        wfl, _, w_ok = rr.masked_svqb_drop_p(
+            wfl, active, 1e-3, against=(xf,), passes=2)
+        hw5 = h_func(unflat(wfl))
+        hwf = (hw5[0].reshape(m, -1), hw5[1].reshape(m, -1))
+        pn = rr.colnorms_p(pf)
+        ipn = (1.0 / jnp.maximum(pn, tiny))[:, None]
+        pf = (ipn * pf[0], ipn * pf[1])
+        hpf = (ipn * hpf[0], ipn * hpf[1])
+        pf, hpf, p_ok = rr.masked_svqb_drop_p(
+            pf, active, 1e-3, hblock=hpf, against=(xf, wfl),
+            h_against=(hxf, hwf), passes=2)
+        bm = jnp.concatenate((ones, w_ok, p_ok))
+        sf = (jnp.concatenate((xf[0], wfl[0], pf[0])),
+              jnp.concatenate((xf[1], wfl[1], pf[1])))
+        hsf = (jnp.concatenate((hxf[0], hwf[0], hpf[0])),
+               jnp.concatenate((hxf[1], hwf[1], hpf[1])))
+        t_re, t_im = rr.gram_f64_p(sf, hsf)
+        keep = (bm[:, None] * bm[None, :]).astype(jnp.float64)
+        t_re = 0.5 * (t_re + t_re.T) * keep
+        t_im = 0.5 * (t_im - t_im.T) * keep
+        theta_all, v_re, v_im = rr.eigh_f64_embedding(t_re, t_im,
+                                                      split=rr_split)
+        theta = theta_all[:m].astype(jnp.float32)
+        cx = (v_re[:m, :m].astype(jnp.float32),
+              v_im[:m, :m].astype(jnp.float32))
+        cw = (v_re[m:2*m, :m].astype(jnp.float32),
+              v_im[m:2*m, :m].astype(jnp.float32))
+        cp = (v_re[2*m:, :m].astype(jnp.float32),
+              v_im[2*m:, :m].astype(jnp.float32))
+        pw = rr.mix_pair(cw, wfl)
+        pp = rr.mix_pair(cp, pf)
+        p_new = (pw[0] + pp[0], pw[1] + pp[1])
+        hw2 = rr.mix_pair(cw, hwf)
+        hp2 = rr.mix_pair(cp, hpf)
+        hp_new = (hw2[0] + hp2[0], hw2[1] + hp2[1])
+        xc = rr.mix_pair(cx, xf)
+        x_new = (xc[0] + p_new[0], xc[1] + p_new[1])
+        hxc = rr.mix_pair(cx, hxf)
+        hx_new = (hxc[0] + hp_new[0], hxc[1] + hp_new[1])
+        return x_new, hx_new, p_new, hp_new, theta
+
+    lam0 = jnp.linspace(1.0, 10.0, m).astype(jnp.float32)
+    timeit("FULL ITERATION (one jit)", jax.jit(full_iter),
+           xf, wf, pf, hpf, lam0, reps=args.reps)
+
 
 if __name__ == "__main__":
     main()
