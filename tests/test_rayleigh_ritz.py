@@ -119,3 +119,77 @@ def test_masked_mgs_twice_is_enough_on_noise_columns():
         if passes == 2:
             assert basis_err < 5e-6, basis_err
             assert cross < 5e-6, cross
+
+
+def test_eigh_f64_embedding_tiny_relative_eigenvalue(rng):
+    """Eigenvalues at ~1e-13 RELATIVE to the matrix scale: the protective
+    diagonal shift must keep the result finite and accurate (on the axon
+    TPU the raw emulated-f64 eigh returns all-NaN for such inputs; the
+    shift leaves eigenvectors exactly unchanged)."""
+    p = 24
+    q = np.linalg.qr(rng.normal(size=(p, p)) + 1j * rng.normal(size=(p, p)))[0]
+    wt = np.concatenate([np.array([1.5e-10, 5e-7]), np.linspace(2.7, 600.0, p - 2)])
+    h = (q * wt) @ q.conj().T
+    h = (h + h.conj().T) / 2
+    w, vr, vi = rr.eigh_f64_embedding(jnp.asarray(h.real), jnp.asarray(h.imag))
+    assert not np.isnan(np.asarray(w)).any()
+    v = np.asarray(vr) + 1j * np.asarray(vi)
+    assert not np.isnan(v).any()
+    np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(wt),
+                               atol=1e-5)
+    np.testing.assert_allclose(v.conj().T @ v, np.eye(p), atol=1e-8)
+
+
+def test_eigh_f64_embedding_zero_matrix():
+    """All-dead SVQB Grams are exactly zero: must return finite output (a
+    1e-300 guard constant flushes to 0 in the TPU's f32-pair-emulated f64,
+    which once turned the Newton gap gate into 0/0)."""
+    z = jnp.zeros((8, 8), jnp.float64)
+    w, vr, vi = rr.eigh_f64_embedding(z, z)
+    assert not np.isnan(np.asarray(w)).any()
+    assert not np.isnan(np.asarray(vr)).any()
+    np.testing.assert_allclose(np.asarray(w), 0.0, atol=1e-12)
+
+
+def test_masked_svqb_drop_near_identity_gram(rng):
+    """Pass-2-style input (already orthonormal + noise): the Gram-NS
+    refinement pass must not degrade orthonormality (the embedding eigh of
+    a fully-clustered Gram returns a nearly singular complex V, which is
+    why later passes avoid the eigh entirely)."""
+    m, d = 12, 500
+    b = rng.normal(size=(m, d)) + 1j * rng.normal(size=(m, d))
+    q, _ = np.linalg.qr(b.conj().T)
+    q = q.T.conj() + 1e-6 * (rng.normal(size=(m, d))
+                             + 1j * rng.normal(size=(m, d)))
+    out, _, mask = rr.masked_svqb_drop(jnp.asarray(q), jnp.ones(m), 1e-8,
+                                       passes=2)
+    g = np.asarray(out) @ np.asarray(out).conj().T
+    assert np.asarray(mask).sum() == m
+    np.testing.assert_allclose(g, np.eye(m), atol=1e-10)
+    # pair twin
+    outp, _, maskp = rr.masked_svqb_drop_p(
+        (jnp.asarray(q.real), jnp.asarray(q.imag)), jnp.ones(m), 1e-8,
+        passes=2)
+    qp = np.asarray(outp[0]) + 1j * np.asarray(outp[1])
+    gp = qp @ qp.conj().T
+    np.testing.assert_allclose(gp, np.eye(m), atol=1e-10)
+
+
+def test_dft3_p_stacked_matches_fftn(rng):
+    """The stacked one-dot-per-axis pair DFT is a drop-in fftn/ifftn."""
+    from pcx.operators import dft as dft_mod
+    from pcx.operators import rs
+    n, m = 10, 2
+    mats = dft_mod.dft_mats(n, np.complex64)
+    x = (rng.standard_normal((m, 3, n, n, n)).astype(np.float32),
+         rng.standard_normal((m, 3, n, n, n)).astype(np.float32))
+    w = (jnp.asarray(mats.fwd.real), jnp.asarray(mats.fwd.imag))
+    got = rs.dft3_p((jnp.asarray(x[0]), jnp.asarray(x[1])), w)
+    want = np.fft.fftn((x[0] + 1j * x[1]).astype(np.complex64),
+                       axes=(-3, -2, -1))
+    gotc = np.asarray(got[0]) + 1j * np.asarray(got[1])
+    assert np.abs(gotc - want).max() / np.abs(want).max() < 1e-5
+    wi = (jnp.asarray(mats.inv.real), jnp.asarray(mats.inv.imag))
+    back = rs.dft3_p(got, wi)
+    backc = np.asarray(back[0]) + 1j * np.asarray(back[1])
+    assert np.abs(backc - (x[0] + 1j * x[1])).max() < 1e-5
