@@ -124,7 +124,12 @@ def main():
         result = r
         for i in range(args.sweep):
             a = path[(start + i) % len(path)]
-            result = solver.solve(a, x0=x_prev, validate_result=False)
+            try:
+                result = solver.solve(a, x0=x_prev, validate_result=False)
+            except Exception as e:  # device fault mid-sweep: report partial
+                print(f"# DEVICE ERROR at sweep point {i}: {e}",
+                      file=sys.stderr)
+                break
             if result.status not in (Status.CONVERGED, Status.FLOOR):
                 print(f"# ERROR at sweep point {i}: "
                       f"{Status(result.status).name}", file=sys.stderr)
@@ -134,6 +139,8 @@ def main():
             x_prev = result.x
             print(f"# sweep {i}: {result.wall_time:.3f}s, "
                   f"{result.iterations} iters", file=sys.stderr)
+        if not times:
+            sys.exit(1)
         value = float(np.mean(times))
         alpha = path[start]  # for the validation below
         print(json.dumps({
