@@ -122,11 +122,15 @@ def main():
         times, iters = [], []
         x_prev = r.x
         result = r
+        last_alpha = None
+        # Only runtime/device faults are containable mid-sweep; anything
+        # else (a code bug) must still fail loudly.
+        device_errors = (jax.errors.JaxRuntimeError, RuntimeError, OSError)
         for i in range(args.sweep):
             a = path[(start + i) % len(path)]
             try:
                 result = solver.solve(a, x0=x_prev, validate_result=False)
-            except Exception as e:  # device fault mid-sweep: report partial
+            except device_errors as e:  # device fault: report partial mean
                 print(f"# DEVICE ERROR at sweep point {i}: {e}",
                       file=sys.stderr)
                 break
@@ -137,16 +141,27 @@ def main():
             times.append(result.wall_time)
             iters.append(result.iterations)
             x_prev = result.x
+            last_alpha = a
             print(f"# sweep {i}: {result.wall_time:.3f}s, "
                   f"{result.iterations} iters", file=sys.stderr)
         if not times:
             sys.exit(1)
         value = float(np.mean(times))
-        alpha = path[start]  # for the validation below
+        # Spurious-eigenvalue gate on the last completed point (same
+        # contract as the single-point path).
+        rep_val = solver.validate_solution(last_alpha, result)
+        dev = float(np.abs(rep_val.omega_pnt - rep_val.omega_re).max())
+        print(f"# sweep validation: max |omega - omega_re| = {dev:.2e}",
+              file=sys.stderr)
+        if dev > 1e-3:
+            print("# ERROR: spurious eigenvalues", file=sys.stderr)
+            sys.exit(1)
+        partial = "_partial" if len(times) < args.sweep else ""
         print(json.dumps({
-            "metric": f"{args.lattice}_n{args.n}_sweep_mean_seconds",
+            "metric": f"{args.lattice}_n{args.n}_sweep_mean_seconds{partial}",
             "value": round(value, 4),
             "unit": "s",
+            "points": len(times),
             "vs_baseline": round(args.baseline / value, 3),
         }))
         return

@@ -67,11 +67,13 @@ class KPointSolver:
         # past the v5e budget (observed device fault at N=120).  Applying
         # H over column chunks inside a lax.map bounds the temporaries at
         # chunk/m of the block for identical FLOPs.  None = auto:
-        # chunk so one sub-block stays under ~192 MB on accelerators.
+        # chunk so one sub-block stays under ~192 MB on accelerators;
+        # the 0.5 GB full-block threshold activates at N>=110 (m=16),
+        # covering the documented N>=112 fault regime.
         if apply_chunk is None and jax.default_backend() != "cpu":
             col_bytes = 3 * cfg.n**3 * 8
             apply_chunk = max(1, int(192e6 // col_bytes)) \
-                if col_bytes * 16 > 1.5e9 else 0
+                if col_bytes * 16 > 0.5e9 else 0
         self.apply_chunk = int(apply_chunk or 0)
         self.tol = tol
         self.maxiter = maxiter
@@ -216,9 +218,15 @@ class KPointSolver:
             def p_func(v):
                 return rs.h_block_p(v, inv.diag, inv_sd)
 
-            rs_opts = {k: v for k, v in opts.items()
-                       if k in ("ortho_passes", "refresh_every",
-                                "floor_patience", "maxstagniter", "use_p")}
+            rs_supported = ("ortho_passes", "refresh_every",
+                            "floor_patience", "maxstagniter", "use_p")
+            dropped = sorted(set(opts) - set(rs_supported))
+            if dropped:
+                raise ValueError(
+                    f"solver_opts {dropped} are not supported by the "
+                    f"pair-layout solver (solver_impl='rs'); pass "
+                    f"solver_impl='complex' to use them")
+            rs_opts = {k: v for k, v in opts.items() if k in rs_supported}
             res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
                                        maxiter=maxiter, locking=locking,
                                        **rs_opts)

@@ -90,3 +90,33 @@ def test_solve_batch_matches_serial():
         rs = solver.solve(a, seed=11)
         assert rb.status in (1, 5)
         np.testing.assert_allclose(rb.omega_re, rs.omega_re, atol=2e-5)
+
+
+def test_apply_chunk_matches_unchunked():
+    """Column-chunked operator application (the HBM-bounding lax.map path,
+    auto-enabled at large N on accelerators) must be bit-equivalent in
+    results to the unchunked apply."""
+    import jax.numpy as jnp
+    from pcx.config import ProblemConfig
+    cfg = ProblemConfig(n=8, lattice="sc_curv", nev=4)
+    alpha = np.array([np.pi, 0.3, 0.0])
+    r_full = bs.KPointSolver(cfg, dtype=jnp.complex128,
+                             apply_chunk=0).solve(alpha, seed=5)
+    r_chunk = bs.KPointSolver(cfg, dtype=jnp.complex128,
+                              apply_chunk=2).solve(alpha, seed=5)
+    assert r_chunk.status in (1, 5)
+    np.testing.assert_allclose(r_chunk.omega_re, r_full.omega_re, atol=1e-10)
+
+
+def test_apply_chunk_matches_unchunked_rs():
+    """Same invariant on the pair-layout (TPU production) solver path."""
+    import jax.numpy as jnp
+    from pcx.config import ProblemConfig
+    cfg = ProblemConfig(n=8, lattice="sc_curv", nev=4)
+    alpha = np.array([np.pi, 0.3, 0.0])
+    kw = dict(dtype=jnp.complex128, solver_impl="rs", real_boundary=True,
+              refine=False)
+    r_full = bs.KPointSolver(cfg, apply_chunk=0, **kw).solve(alpha, seed=5)
+    r_chunk = bs.KPointSolver(cfg, apply_chunk=2, **kw).solve(alpha, seed=5)
+    assert r_chunk.status in (1, 5)
+    np.testing.assert_allclose(r_chunk.omega_re, r_full.omega_re, atol=1e-10)
