@@ -58,9 +58,16 @@ class KPointSolver:
                  real_boundary: Optional[bool] = None,
                  fft_mode: str = "auto", refine: Optional[bool] = None,
                  apply_chunk: Optional[int] = None,
-                 solver_impl: str = "auto"):
+                 solver_impl: str = "auto", x0_mode: str = "plane_wave"):
         self.cfg = cfg
         self.dtype = dtype
+        # Cold-start policy: "plane_wave" seeds with transverse plane waves
+        # at the lowest vacuum frequencies (~1/3 fewer iterations than the
+        # reference's uniform random start, maxwell.plane_wave_cols);
+        # "random" matches the reference (num_exp.py:66).
+        if x0_mode not in ("plane_wave", "random"):
+            raise ValueError(f"unknown x0_mode {x0_mode!r}")
+        self.x0_mode = x0_mode
         # Column-chunked operator application: the matmul-DFT apply
         # materializes several block-sized temporaries (splits + 4 real
         # GEMM partials per axis); at N>=112, m=16 that pushes peak HBM
@@ -136,7 +143,14 @@ class KPointSolver:
         # and (N, N) twiddles cross the slow host link; the (3, N, N, N)
         # symbols are rebuilt on device (rs.build_curl_p).
         self.refine = refine if refine is not None else self.rb
-        if self.refine:
+        # Device-symbol mode (rs solver): the MAIN solve also rebuilds its
+        # (3, N, N, N) symbols on device from the same 1-D parts — a sweep
+        # then ships only (N,)-vectors + scalars per k-point instead of
+        # ~140 MB of host-built symbols through the slow tunnel
+        # (reference rebuilds cheap per-k symbols on device,
+        # num_exp.py:434-446).
+        self.dev_sym = self.impl == "rs"
+        if self.refine or self.dev_sym:
             d1 = stencils.symbol_1d(cfg.n, cfg.k, 1, 1.0 / cfg.n) / cfg.scal
             d0 = stencils.symbol_1d(cfg.n, cfg.k, 0) / cfg.scal
             w = dft_mod.dft_mats(cfg.n, np.complex128)
@@ -194,19 +208,17 @@ class KPointSolver:
             return lob.lobpcg_sep(h_func, p_func, x0, nev, tol=tol,
                                   maxiter=maxiter, locking=locking, **opts)
 
-        def run_core_rs(d_a, b, inv, shift, x0, diel, dft):
-            """Pair-layout production path: split complex inputs ONCE at
-            entry, run the real-split solver, restack once at exit."""
-            d_ap = (d_a.real, d_a.imag)
-            b_sd = (b.sdiag.real, b.sdiag.imag)
-            inv_sd = (inv.sdiag.real, inv.sdiag.imag)
+        def _run_rs_body(d_ap, b_diag, b_sd, inv_diag, inv_sd, shift, x0,
+                         diel, dft):
+            """Shared pair-layout solver body: symbols already as pairs of
+            the iterate's real dtype."""
             wf = (dft.fwd.real, dft.fwd.imag)
             wi = (dft.inv.real, dft.inv.imag)
             x0p = (x0.real, x0.imag)
             rdt = x0.real.dtype
 
             def h_one(v):
-                return rs.ama_bb_p(v, d_ap, b.diag, b_sd, diel, wf, wi,
+                return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
                                    shift=shift)
 
             h_func = _chunked(
@@ -216,7 +228,7 @@ class KPointSolver:
                 lambda vc: tuple(a.reshape((m,) + a.shape[2:]) for a in vc))
 
             def p_func(v):
-                return rs.h_block_p(v, inv.diag, inv_sd)
+                return rs.h_block_p(v, inv_diag, inv_sd)
 
             rs_supported = ("ortho_passes", "refresh_every",
                             "floor_patience", "maxstagniter", "use_p")
@@ -233,6 +245,29 @@ class KPointSolver:
             return res._replace(x=jax.lax.complex(*res.x).astype(x0.dtype),
                                 lambdas=res.lambdas.astype(rdt))
 
+        def run_core_rs(d_a, b, inv, shift, x0, diel, dft):
+            """Pair-layout path with HOST-built symbols: split complex
+            inputs once at entry."""
+            return _run_rs_body((d_a.real, d_a.imag), b.diag,
+                                (b.sdiag.real, b.sdiag.imag), inv.diag,
+                                (inv.sdiag.real, inv.sdiag.imag),
+                                shift, x0, diel, dft)
+
+        def run_core_rs_dev(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
+            """Pair-layout path with DEVICE-built symbols: rebuild the
+            (3, N, N, N) curl/penalty/preconditioner symbols on device in
+            f64 from (N,)-sized stencil parts, then cast to the iterate
+            dtype.  One-time cost per solve (~elementwise on 3N^3)."""
+            rdt = x0.real.dtype
+            d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
+            b_diag64, b_sd64 = rs.penalty_p(d_a64, pnt)
+            inv_diag64, inv_sd64 = rs.inverse_penalized_p(d_a64, pnt, shift)
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(rdt), t)
+            return _run_rs_body(cast(d_a64), cast(b_diag64), cast(b_sd64),
+                                cast(inv_diag64), cast(inv_sd64),
+                                shift.astype(rdt), x0, diel, dft)
+
         def stats_core(d_a, diel, x, lambdas, dft):
             """Validation statistics of the leading nev modes against the
             UNPENALIZED operator: Rayleigh quotients + residual norms
@@ -245,7 +280,8 @@ class KPointSolver:
             r = ax - bl * xs
             return lam_re, norms(r)
 
-        core = run_core_rs if impl == "rs" else run_core
+        core = (run_core_rs_dev if (impl == "rs" and self.dev_sym)
+                else run_core_rs if impl == "rs" else run_core)
         if self.rb:
             run = jax.jit(boundary.real_boundary(core))
             stats = jax.jit(boundary.real_boundary(stats_core))
@@ -437,6 +473,29 @@ class KPointSolver:
         gen = lambda key: maxwell.random_block(key, n, m, dt)
         return jax.jit(boundary.real_boundary(gen) if self.rb else gen)
 
+    @lru_cache(maxsize=8)
+    def _pwgen(self, m: int):
+        """Jitted plane-wave scatter: builds the (m, 3, N, N, N) cold-start
+        block ON DEVICE from (m,) indices + (m, 3) amplitudes (nothing
+        block-sized crosses the host link)."""
+        n = self.cfg.n
+        gen = lambda idx, amps, key: maxwell.plane_wave_scatter(
+            idx, amps, n, jitter_key=key)
+        return jax.jit(boundary.real_boundary(gen) if self.rb else gen)
+
+    def _x0_cold(self, alpha, m: int, seed: int):
+        """Cold-start block by self.x0_mode."""
+        if self.x0_mode == "random":
+            return self._x0gen(m)(jax.random.PRNGKey(seed))
+        cfg = self.cfg
+        d_a_np = sym.shift_symbol(self._d, self._di,
+                                  np.asarray(alpha, float),
+                                  scal=1.0) / cfg.scal
+        idx, amps = maxwell.plane_wave_cols(d_a_np, m)
+        amps = self._place(amps.astype(np.complex128))
+        return self._pwgen(m)(jnp.asarray(idx), amps,
+                              jax.random.PRNGKey(seed))
+
     def _fit(self, x, m: int, seed: int):
         """Warm-start width adaptation: truncate or pad with random columns
         (reference: numerical_experiments.py:425-432)."""
@@ -490,8 +549,14 @@ class KPointSolver:
         shifts = jnp.asarray(
             np.asarray([p[3] for p in packs], dtype=self.rdt))
         if x0s is None:
-            gen = self._x0gen(m)
-            blocks = [gen(jax.random.PRNGKey(seed + i)) for i in range(bsize)]
+            blocks = [self._x0_cold(a, m, seed + i)
+                      for i, a in enumerate(alphas)]
+        elif isinstance(x0s, (list, tuple)):
+            blocks = [self._fit(x, m, seed + i) if x.shape[0] != m else x
+                      for i, x in enumerate(x0s)]
+        else:
+            blocks = None
+        if blocks is not None:
             if self.rb:
                 x0s = boundary.CArr(jnp.stack([blk.ri for blk in blocks]))
             else:
@@ -556,16 +621,26 @@ class KPointSolver:
         cfg = self.cfg
         m = self.block_width(alpha)
         if x0 is None:
-            x0 = self._x0gen(m)(jax.random.PRNGKey(seed))
+            x0 = self._x0_cold(alpha, m, seed)
         elif x0.shape[0] != m:
             x0 = self._fit(x0, m, seed)
 
-        d_a, b, inv, shift = self.symbols_for(alpha)
         run, stats = self._jitted(m)
-
-        t0 = time.time()
-        res = run(d_a, b, inv, jnp.asarray(shift, self.rdt), x0,
-                  self.diel, self.dft)
+        if self.dev_sym:
+            (shift, _), pnt = set_relaxation(alpha)
+            shift = float(shift) / cfg.scal**2
+            f = self._f64
+            t0 = time.time()
+            res = run(f["d1"], f["d0"], f["ct"],
+                      jnp.asarray(np.asarray(alpha, np.float64)),
+                      jnp.asarray(np.float64(pnt)),
+                      jnp.asarray(np.float64(shift)),
+                      x0, self.diel, self.dft)
+        else:
+            d_a, b, inv, shift = self.symbols_for(alpha)
+            t0 = time.time()
+            res = run(d_a, b, inv, jnp.asarray(shift, self.rdt), x0,
+                      self.diel, self.dft)
         res.lambdas.block_until_ready()
         wall = time.time() - t0
 
@@ -581,6 +656,8 @@ class KPointSolver:
                     alpha, res.x, verbose=verbose)
                 omega, omega_re = report.omega_pnt, report.omega_re
             elif validate_result:
+                if self.dev_sym:
+                    d_a = self.symbols_for(alpha)[0]
                 lam_pen = lambdas - (shift if shift > 0 else 0.0)
                 lam_re, res_nrm = stats(
                     d_a, self.diel, res.x,
@@ -662,8 +739,14 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     for grp in groups:
         try:
             if len(grp) > 1:
+                # Warm start every member of the group from the nearest
+                # previously-solved eigenvector block (the reference warm
+                # start, num_exp.py:425-432, extended to lockstep groups).
+                x0s = ([x_prev] * len(grp)
+                       if (x_prev is not None and prev_idx is not None
+                           and abs(grp[0] - prev_idx) <= 1) else None)
                 results = solver.solve_batch([alphas[i] for i in grp],
-                                             seed=seed + grp[0])
+                                             x0s=x0s, seed=seed + grp[0])
             else:
                 i = grp[0]
                 x0 = (x_prev if (prev_idx is not None

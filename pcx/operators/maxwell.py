@@ -154,29 +154,25 @@ def assemble_problem(cfg: ProblemConfig, alpha,
                           shift=float(shift), pnt=float(pnt), scal=cfg.scal)
 
 
-def plane_wave_block(d_a: np.ndarray, m: int, dtype=jnp.complex128,
-                     jitter_key=None) -> jnp.ndarray:
-    """Physics-informed initial block: transverse plane waves at the m/2
-    lowest vacuum eigenvalues.
+def plane_wave_cols(d_a: np.ndarray, m: int):
+    """Host-side column selection for the plane-wave start: returns
+    (idx (m,) flat frequency indices, amps (m, 3) complex polarizations).
 
-    The iterate lives in Fourier space, so a plane wave is a one-hot
-    Fourier coefficient.  At frequency f the vacuum operator A A^H acts on
-    the 2D transverse space { v : D(f) . v = 0 } as |D(f)|^2, so the best
-    m-dimensional starting subspace for the lowest bands is the pair of
-    polarizations at the m/2 smallest |D(f)|^2.  (The reference starts from
-    uniform random vectors, numerical_experiments.py:66 — this typically
-    saves a third of the LOBPCG iterations.)
+    At frequency f the vacuum operator A A^H acts on the 2D transverse
+    space { v : D(f) . v = 0 } as |D(f)|^2, so the best m-dimensional
+    starting subspace for the lowest bands is the pair of polarizations at
+    the m/2 smallest |D(f)|^2.  Only O(N^3) host flops — nothing shipped
+    to the device but m indices and m 3-vectors.
     """
-    d = np.asarray(d_a)
-    _, n1, n2, n3 = d.shape
-    score = np.sum(np.abs(d) ** 2, axis=0).reshape(-1)
+    d = np.asarray(d_a).reshape(3, -1)
+    score = np.sum(np.abs(d) ** 2, axis=0)
     n_freq = (m + 1) // 2 + 1
-    idx = np.argpartition(score, n_freq)[:n_freq]
-    idx = idx[np.argsort(score[idx])]
+    sel = np.argpartition(score, n_freq)[:n_freq]
+    sel = sel[np.argsort(score[sel])]
 
-    cols = []
-    for f in idx:
-        df = d.reshape(3, -1)[:, f]
+    idx, amps = [], []
+    for f in sel:
+        df = d[:, f]
         # Orthonormal basis of the transverse space {v : df . v = 0}
         # = orthogonal complement of conj(df).
         a = np.conj(df)
@@ -185,27 +181,51 @@ def plane_wave_block(d_a: np.ndarray, m: int, dtype=jnp.complex128,
             basis = np.eye(3)[:, :2]
         else:
             a = a / na
-            # Householder-style complement.
-            e = np.zeros(3, complex)
-            e[np.argmax(np.abs(a))] = 1.0
-            u = a - e * np.vdot(e, a) / max(abs(np.vdot(e, a)), 1e-30)
             q, _ = np.linalg.qr(np.column_stack(
                 [a, np.roll(np.eye(3), 1, 1)[:, :2]]))
             basis = q[:, 1:3]
         for p in range(2):
-            if len(cols) >= m:
+            if len(idx) >= m:
                 break
-            vec = np.zeros((3, n1 * n2 * n3), complex)
-            vec[:, f] = basis[:, p]
-            cols.append(vec.reshape(3, n1, n2, n3))
-        if len(cols) >= m:
+            idx.append(int(f))
+            amps.append(basis[:, p])
+        if len(idx) >= m:
             break
-    x0 = jnp.asarray(np.stack(cols), dtype=dtype)
+    return np.asarray(idx, np.int32), np.stack(amps).astype(np.complex128)
+
+
+def plane_wave_scatter(idx: jnp.ndarray, amps: jnp.ndarray, n: int,
+                       jitter_key=None, jitter: float = 1e-2) -> jnp.ndarray:
+    """Device-side (jit-traceable) plane-wave block builder: scatter the m
+    one-hot polarization 3-vectors into a zero (m, 3, N^3) block.  The
+    ~(m * 3N^3)-sized block never crosses the host link — only (m,) indices
+    and (m, 3) amplitudes do.
+
+    A tiny random component breaks symmetry-induced invariant subspaces
+    (the exact eigenvectors are NOT plane waves).
+    """
+    m = idx.shape[0]
+    vec = jnp.zeros((m, 3, n * n * n), amps.dtype)
+    vec = vec.at[jnp.arange(m), :, idx].set(amps)
+    x0 = vec.reshape(m, 3, n, n, n)
     if jitter_key is not None:
-        # Tiny random component to break symmetry-induced invariant
-        # subspaces (the exact eigenvectors are NOT plane waves).
-        x0 = x0 + 1e-2 * random_block(jitter_key, n1, m, dtype)
+        x0 = x0 + jitter * random_block(jitter_key, n, m, amps.dtype)
     return x0
+
+
+def plane_wave_block(d_a: np.ndarray, m: int, dtype=jnp.complex128,
+                     jitter_key=None) -> jnp.ndarray:
+    """Physics-informed initial block: transverse plane waves at the m/2
+    lowest vacuum eigenvalues (host-assembled convenience wrapper; the
+    sweep path uses plane_wave_cols + plane_wave_scatter to build the
+    block on device).  The reference starts from uniform random vectors,
+    numerical_experiments.py:66 — plane waves typically save a third of
+    the LOBPCG iterations.
+    """
+    idx, amps = plane_wave_cols(d_a, m)
+    return plane_wave_scatter(jnp.asarray(idx),
+                              jnp.asarray(amps, dtype), np.asarray(d_a).shape[1],
+                              jitter_key=jitter_key)
 
 
 def random_block(key, n: int, m: int, dtype=jnp.complex128) -> jnp.ndarray:

@@ -298,6 +298,42 @@ def penalty_p(d_a: Pair, pnt) -> Tuple[jnp.ndarray, Pair]:
     return diag, sdiag
 
 
+def inverse_penalized_p(d_a: Pair, pnt, shift=0.0) -> Tuple[jnp.ndarray, Pair]:
+    """Preconditioner symbol (A A^H + pnt B^H B + shift)^{-1} as pairs,
+    built ON DEVICE from the curl pair (diag REAL (3,N,N,N), sdiag pair).
+
+    Pair analog of symbols.inverse_penalized + inverse_3x3_block
+    (reference: discretization.py:224-295).  All arithmetic is real; the
+    determinant of the Hermitian 3x3 symbol is real.
+    """
+    comp = lambda c: (d_a[0][c], d_a[1][c])
+    b0, b1, b2 = (pabs2(comp(c)) for c in range(3))
+    d0 = pnt * b0 + b1 + b2 + shift
+    d1 = b0 + pnt * b1 + b2 + shift
+    d2 = b0 + b1 + pnt * b2 + shift
+    q = pnt - 1.0
+    s0 = pscale(pmul(pconj(comp(0)), comp(1)), q)   # (row0, col1)
+    s1 = pscale(pmul(pconj(comp(0)), comp(2)), q)   # (row0, col2)
+    s2 = pscale(pmul(pconj(comp(1)), comp(2)), q)   # (row1, col2)
+
+    a0, a1, a2 = pabs2(s0), pabs2(s1), pabs2(s2)
+    # 2*Re(s0 * s2 * conj(s1))
+    cross = pmul(s0, s2)
+    tri = 2.0 * (cross[0] * s1[0] + cross[1] * s1[1])
+    det = d0 * d1 * d2 - (d0 * a2 + d1 * a1 + d2 * a0) + tri
+    inv_det = 1.0 / det
+
+    f_diag = jnp.stack(((d1 * d2 - a2) * inv_det,
+                        (d0 * d2 - a1) * inv_det,
+                        (d0 * d1 - a0) * inv_det))
+    f0 = pscale(padd(pmul(s1, pconj(s2)), pscale(s0, -d2)), inv_det)
+    f1 = pscale(padd(pmul(s0, s2), pscale(s1, -d1)), inv_det)
+    f2 = pscale(padd(pmul(s1, pconj(s0)), pscale(s2, -d0)), inv_det)
+    f_sdiag = (jnp.stack((f0[0], f1[0], f2[0])),
+               jnp.stack((f0[1], f1[1], f2[1])))
+    return f_diag, f_sdiag
+
+
 # -- small dense pencil solver (f64 real embedding) ----------------------------
 
 def hermitize_p(m: Pair) -> Pair:

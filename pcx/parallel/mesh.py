@@ -40,6 +40,59 @@ def make_mesh(n_k: Optional[int] = None, n_grid: Optional[int] = None,
     return Mesh(arr, (K_AXIS, GRID_AXIS))
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: initialize the JAX distributed runtime so
+    ``jax.devices()`` returns the GLOBAL device list (SURVEY.md section 5.8).
+
+    Arguments default to the standard cluster env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or an
+    auto-detected TPU pod environment).  A no-op returning 0 when neither
+    arguments nor env vars request distribution.  On CPU test rigs the
+    cross-process collectives run over gloo
+    (jax_cpu_collectives_implementation, default on).
+
+    Returns the process index.
+    """
+    import os
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return 0  # single-host
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
+def make_multihost_mesh(n_grid: int = 1) -> Mesh:
+    """Global ("k", "grid") mesh after :func:`init_distributed`:
+    process-major device order, so the embarrassingly-parallel k axis maps
+    ACROSS hosts (DCN-tolerant — k-point solves never communicate) while
+    grid sharding (all_to_all in every operator apply) stays INSIDE a
+    host's chips (ICI)."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n_local = len([d for d in devs
+                   if d.process_index == jax.process_index()])
+    if n_grid > max(n_local, 1):
+        raise ValueError(
+            f"n_grid={n_grid} exceeds {n_local} chips per host — grid "
+            f"all_to_alls would cross DCN")
+    return make_mesh(n_grid=n_grid, devices=devs)
+
+
+def host_slice(n_items: int) -> list:
+    """Strided slice of work items owned by this process — the multi-host
+    split of the band sweep (each host computes its own k-points and writes
+    its own checkpoint shard)."""
+    return list(range(jax.process_index(), n_items, jax.process_count()))
+
+
 def field_spec(batched: bool = False) -> P:
     """PartitionSpec of a field block (m, 3, N, N, N): shard the LAST grid
     axis over "grid" (pencil layout); optionally a leading k-batch axis."""

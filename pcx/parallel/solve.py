@@ -85,18 +85,29 @@ def solve_kpoint_sharded(
     """One grid-sharded LOBPCG solve.  Arrays may be passed unsharded; the
     in_specs place them (z-sharded symbols/fields, x-sharded dielectric).
 
-    ``scale`` is either the pointwise eps^{-1} multiplier (chiral / smooth)
-    or a (diag, sdiag) pair for the pseudochiral-trivial Hermitian tensor —
-    both are pointwise in the pencil layout.  (Cross-DoF coupling needs halo
-    exchange along sharded axes: single-chip only for now.)
+    ``scale`` is one of
+      * the pointwise eps^{-1} multiplier array (chiral / smooth),
+      * a (diag, sdiag) pair for the pseudochiral-trivial Hermitian tensor
+        (both pointwise in the pencil layout), or
+      * ``{"crossdof": (diag, masks, sten, eps3, eps4, eps5)}`` for the
+        cross-DoF averaging dielectric — its x-axis stencils then run
+        through halo-exchange rolls (make_sharded_crossdof) while y/z
+        stencils stay local (reference CSR build: disc.py:403-453).
     """
     zspec3 = P(None, None, None, GRID_AXIS)     # (3, Nx, Ny, Nz) on z
     xspec3 = P(None, GRID_AXIS, None, None)     # (3, Nx, Ny, Nz) on x
     fspec = P(None, None, None, None, GRID_AXIS)
     cdtype = x0.dtype
-    is_herm = isinstance(scale, (tuple, list))
-    diel_args = tuple(scale) if is_herm else (scale,)
-    diel_specs = (xspec3, xspec3) if is_herm else (xspec3,)
+    is_cross = isinstance(scale, dict) and "crossdof" in scale
+    is_herm = not is_cross and isinstance(scale, (tuple, list))
+    if is_cross:
+        diag, masks, sten, e3, e4, e5 = scale["crossdof"]
+        diel_args = (diag, masks)
+        diel_specs = (xspec3, xspec3)
+    else:
+        diel_args = tuple(scale) if is_herm else (scale,)
+        diel_specs = (xspec3, xspec3) if is_herm else (xspec3,)
+    n_shards = mesh.shape[GRID_AXIS]
 
     @partial(
         shard_map, mesh=mesh,
@@ -107,7 +118,10 @@ def solve_kpoint_sharded(
     )
     def _run(d_a, b_d, b_s, i_d, i_s, *rest):
         *diel_local, x0 = rest
-        if is_herm:
+        if is_cross:
+            diel = make_sharded_crossdof(diel_local[0], diel_local[1],
+                                         sten, e3, e4, e5, n_shards)
+        elif is_herm:
             diel = lambda v: h_block(v, (diel_local[0], diel_local[1]))
         else:
             diel = diel_local[0]

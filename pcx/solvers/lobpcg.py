@@ -418,7 +418,8 @@ def lobpcg_sep_mixedprecision(h_func, p_func, x0, nev, **kw) -> SolveResult:
 
 
 def lobpcg_sep_max(h_func, x0, nev, *, tol: float = TOL,
-                   maxiter: int = MAXITER) -> SolveResult:
+                   maxiter: int = MAXITER,
+                   rr_pencil: str = "auto") -> SolveResult:
     """Largest eigenvalues of H via the inverse formulation x = mu H x
     (mu = 1/lambda smallest) — reference: lobpcg_sep_max_nolock,
     paper_2/lobpcg.py:196-323.
@@ -430,6 +431,7 @@ def lobpcg_sep_max(h_func, x0, nev, *, tol: float = TOL,
         m_func=h_func,
         p_func=lambda v: v,
         x0=x0, nev=nev, tol=tol, maxiter=maxiter, locking=False,
+        rr_pencil=rr_pencil,
     )
     return result._replace(lambdas=1.0 / result.lambdas)
 
@@ -446,15 +448,25 @@ def lobpcg_gep(
     locking: bool = True,
     normalize: bool = True,
     use_p: bool = True,
+    rr_pencil: str = "auto",
 ) -> SolveResult:
     """LOBPCG for the generalized problem H x = lambda M x (M HPD).
 
     Reference: lobpcg_gep_softlock, paper_2/lobpcg.py:688-838.
     Implementation mirrors lobpcg_sep with M-inner products in the
     Rayleigh-Ritz and residual R = lambda*MX - HX.
+
+    ``rr_pencil``: small-pencil solver — "chol" (complex Cholesky,
+    reference GEP_chol), "embedding" (f64 real *-algebra embedding; no
+    complex Cholesky/triangular solves — required on the TPU backend), or
+    "auto" (embedding for complex64 inputs, chol otherwise).
     """
     m = x0.shape[0]
     cdtype = x0.dtype
+    if rr_pencil == "auto":
+        rr_pencil = ("embedding" if cdtype == jnp.complex64 else "chol")
+    pencil = (rr_mod.eigh_pencil_embedding if rr_pencil == "embedding"
+              else rr_mod.eigh_pencil)
     rdtype = real_dtype(cdtype)
     tiny = float(jnp.finfo(rdtype).tiny ** 0.5)
     bshape = (-1,) + (1,) * (x0.ndim - 1)
@@ -468,7 +480,7 @@ def lobpcg_gep(
     hx, mx = h_func(x), m_func(x)
     g = rr_mod.hermitize(rr_mod.gram(flat(x), flat(mx)))
     gh = rr_mod.hermitize(rr_mod.gram(flat(x), flat(hx)))
-    theta0, c0 = rr_mod.eigh_pencil(gh, g)
+    theta0, c0 = pencil(gh, g)
     x = rr_mod.mix(c0, flat(x)).reshape(x.shape)
     hx = rr_mod.mix(c0, flat(hx)).reshape(x.shape)
     mx = rr_mod.mix(c0, flat(mx)).reshape(x.shape)
@@ -535,7 +547,7 @@ def lobpcg_gep(
             gh = rr_mod.hermitize(rr_mod.gram(flat(s_all), flat(hs_all))) * keep
             dead_val = jnp.linalg.norm(gh) + 1.0
             gh = gh - dead_val * jnp.diag(dead).astype(cdtype)
-            theta_all, c_all = rr_mod.eigh_pencil(gh, g)
+            theta_all, c_all = pencil(gh, g)
             n_dead = (3 * m - jnp.sum(basis_mask)).astype(jnp.int32)
             theta = lax.dynamic_slice(theta_all, (n_dead,), (m,)).real
             c = lax.dynamic_slice(c_all, (jnp.int32(0), n_dead), (3 * m, m))

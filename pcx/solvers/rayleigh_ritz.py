@@ -98,6 +98,23 @@ def eigh_pencil(t: jnp.ndarray, g: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
     return theta, v
 
 
+def eigh_pencil_embedding(t: jnp.ndarray, g: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TPU-safe Hermitian-definite pencil solver: the f64 real *-algebra
+    embedding (no complex Cholesky / triangular solves, which are
+    unavailable on the axon TPU backend).  Same contract as
+    :func:`eigh_pencil`; use for c64/TPU paths (VERDICT round-1 item 7).
+    """
+    from pcx.operators import rs
+    f64 = jnp.float64
+    tp = (t.real.astype(f64), t.imag.astype(f64))
+    gp = (g.real.astype(f64), g.imag.astype(f64))
+    theta, c = rs.pencil_f64_embedding(tp, gp)
+    rdt = real_dtype(t.dtype)
+    v = jax.lax.complex(c[0].astype(rdt), c[1].astype(rdt)).astype(t.dtype)
+    return theta.astype(rdt), v
+
+
 def rayleigh_ritz(s: jnp.ndarray, hs: jnp.ndarray):
     """Plain RR on a row-block: Ritz values/vecs of H in span(s)
     (reference: rayleigh_ritz_chol_sep, orthogonalization.py:140-154)."""

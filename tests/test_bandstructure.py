@@ -120,3 +120,17 @@ def test_apply_chunk_matches_unchunked_rs():
     r_chunk = bs.KPointSolver(cfg, apply_chunk=2, **kw).solve(alpha, seed=5)
     assert r_chunk.status in (1, 5)
     np.testing.assert_allclose(r_chunk.omega_re, r_full.omega_re, atol=1e-10)
+
+
+def test_plane_wave_cold_start_converges_and_saves_iterations():
+    """Plane-wave cold start (the default) solves correctly and takes no
+    more iterations than the random start (typically ~1/3 fewer)."""
+    import jax.numpy as jnp
+    from pcx.config import ProblemConfig
+    cfg = ProblemConfig(n=10, lattice="sc_curv", nev=6)
+    alpha = np.array([np.pi, 0.0, 0.0])
+    r_pw = bs.KPointSolver(cfg, x0_mode="plane_wave").solve(alpha, seed=0)
+    r_rnd = bs.KPointSolver(cfg, x0_mode="random").solve(alpha, seed=0)
+    assert r_pw.status in (1, 5)
+    np.testing.assert_allclose(r_pw.omega_re, r_rnd.omega_re, atol=1e-6)
+    assert r_pw.iterations <= r_rnd.iterations

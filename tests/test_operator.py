@@ -213,3 +213,25 @@ def test_plane_wave_block_divergence_free():
     b = sym.penalty_symbol(jnp.asarray(d_a))
     bx = h_block(x0, b)
     assert float(jnp.abs(bx).max()) < 1e-10
+
+
+def test_plane_wave_scatter_matches_host_build():
+    """Device-side scatter build == host column selection semantics: each
+    column is the selected one-hot polarization."""
+    from pcx.operators import maxwell
+    from pcx.operators import symbols as sym
+    from pcx import lattices
+    import jax.numpy as jnp
+
+    n, m = 6, 5
+    ct = lattices.ct_matrix("fcc")
+    d, di = sym.curl_symbols(n, 1, ct)
+    d_a = sym.shift_symbol(d, di, np.array([0.5, -0.2, 0.9]))
+    idx, amps = maxwell.plane_wave_cols(d_a, m)
+    assert idx.shape == (m,) and amps.shape == (m, 3)
+    x0 = maxwell.plane_wave_scatter(jnp.asarray(idx), jnp.asarray(amps), n)
+    flat = np.asarray(x0).reshape(m, 3, -1)
+    for i in range(m):
+        np.testing.assert_allclose(flat[i, :, idx[i]], amps[i], atol=1e-14)
+        rest = np.delete(flat[i], idx[i], axis=1)
+        assert np.abs(rest).max() == 0.0

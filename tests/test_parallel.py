@@ -190,3 +190,95 @@ def test_sharded_roll_matches_roll():
             lambda v: pfft.sharded_roll(v, shift, 0, GRID_AXIS, 8))
         np.testing.assert_allclose(np.asarray(f(x)),
                                    np.roll(np.asarray(x), shift, axis=0))
+
+
+@pytest.mark.slow
+def test_sharded_solve_crossdof(mesh4):
+    """End-to-end grid-sharded solve with the cross-DoF dielectric (halo
+    exchange inside the solver loop) matches the single-device solve at an
+    N large enough for multi-plane halos (VERDICT round-1 item 6)."""
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+    from pcx.operators import maxwell
+    from pcx.parallel.solve import solve_kpoint_sharded
+    from pcx import geometry, stencils
+    from pcx.config import PSEUDOCHIRAL_EPS_LOC, CHIRAL_EPS_EG
+
+    n, nev, k = 16, 3, 1
+    lattice = "sc_curv"
+    alpha = np.array([np.pi, 0, 0])
+    cfg = ProblemConfig(n=n, lattice=lattice,
+                        diel_type="pseudochiral_crossdof", nev=nev)
+    single = KPointSolver(cfg, dtype=jnp.complex128)
+    d_a, b, inv, shift = single.symbols_for(alpha)
+    x0 = maxwell.random_block(jax.random.PRNGKey(2), n, nev + 2,
+                              jnp.complex128)
+    r1 = single.solve(alpha, x0=x0, validate_result=False)
+
+    eps_loc = PSEUDOCHIRAL_EPS_LOC[0] / CHIRAL_EPS_EG[lattice]
+    em = geometry.edge_mask(n, lattice)
+    diag = np.stack([np.where(em[c], eps_loc[c].real, 1.0)
+                     for c in range(3)])
+    sten = tuple(float(w) for w in stencils.mfd_stencil(k, 0))
+    spec = {"crossdof": (jnp.asarray(diag), jnp.asarray(em, jnp.float64),
+                         sten, complex(eps_loc[3]), complex(eps_loc[4]),
+                         complex(eps_loc[5]))}
+    r2 = solve_kpoint_sharded(mesh4, d_a, b, inv, spec, shift, x0, nev,
+                              tol=1e-6, maxiter=300)
+    lam2 = np.asarray(r2.lambdas)[:nev] - shift
+    lam1 = np.asarray(r1.lambdas)[:nev]
+    np.testing.assert_allclose(lam2, lam1, rtol=5e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_multihost_two_process_cpu(tmp_path):
+    """Real two-process jax.distributed bring-up on CPU (gloo collectives):
+    init_distributed + make_multihost_mesh + a cross-host psum + host_slice
+    partitioning (SURVEY.md section 5.8 / VERDICT round-1 item 8)."""
+    import subprocess, sys, textwrap, socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    prog = textwrap.dedent(f"""
+        import os, sys
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:{port}"
+        os.environ["JAX_NUM_PROCESSES"] = "2"
+        os.environ["JAX_PROCESS_ID"] = sys.argv[1]
+        import jax, jax.numpy as jnp
+        jax.config.update("jax_platforms", "cpu")
+        from pcx.parallel.mesh import (init_distributed, make_multihost_mesh,
+                                       host_slice, K_AXIS)
+        pid = init_distributed()
+        assert jax.process_count() == 2, jax.process_count()
+        assert len(jax.devices()) == 4
+        mesh = make_multihost_mesh(n_grid=1)
+        assert mesh.shape[K_AXIS] == 4
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        from functools import partial
+        f = partial(shard_map, mesh=mesh, in_specs=P(K_AXIS),
+                    out_specs=P())(lambda v: jax.lax.psum(v.sum(), K_AXIS))
+        total = f(jnp.arange(8.0))
+        assert float(total) == 28.0, float(total)
+        mine = host_slice(10)
+        assert mine == list(range(pid, 10, 2))
+        print("OK", pid)
+    """)
+    env = {k: v for k, v in __import__("os").environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen([sys.executable, "-c", prog, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env,
+                              cwd="/root/repo")
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"OK {i}" in out
