@@ -231,7 +231,8 @@ class KPointSolver:
                 return rs.h_block_p(v, inv_diag, inv_sd)
 
             rs_supported = ("ortho_passes", "refresh_every",
-                            "floor_patience", "maxstagniter", "use_p")
+                            "floor_patience", "maxstagniter", "use_p",
+                            "rr_gram")
             dropped = sorted(set(opts) - set(rs_supported))
             if dropped:
                 raise ValueError(

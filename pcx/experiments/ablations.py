@@ -61,12 +61,18 @@ def pnt_cmp(n: int, lattice: str, pnt_factors: Sequence[float],
     (reference: paper_1_test.py:77-107; factors scale the default gamma)."""
     cfg = ProblemConfig(n=n, lattice=lattice, nev=nev)
     base = KPointSolver(cfg, dtype=dtype)
-    (shift, rlx), pnt0 = set_relaxation(alpha, scal=cfg.scal)
+    # Same scaling chain as KPointSolver._symbols_np: the unit-cell curl
+    # symbol is divided by the lattice constant (spectrum ~ 1/scal^2), so
+    # the Gamma shift scales with it (shift/scal^2) — NOT shift_symbol's
+    # alpha-only scal argument (VERDICT round-1 weak item 5).
+    (shift, rlx), pnt0 = set_relaxation(alpha)
+    shift = float(shift) / cfg.scal**2
     m = block_width(nev, rlx)
     results = []
     for f in pnt_factors:
         pnt = pnt0 * f
-        d_a = sym.shift_symbol(base._d, base._di, alpha, scal=cfg.scal)
+        d_a = sym.shift_symbol(base._d, base._di, alpha,
+                               scal=1.0) / cfg.scal
         b_raw = sym.penalty_symbol(d_a)
         inv = sym.inverse_penalized(b_raw, pnt, shift=shift)
         b = sym.HermSymbol(jnp.asarray(pnt * b_raw.diag),

@@ -41,22 +41,38 @@ def _gram9_kernel(*refs):
     m = xr.shape[0]
     dims = (((1,), (1,)), ((), ()))
 
+    dot = partial(jax.lax.dot_general, dimension_numbers=dims,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     for i, (ar, ai) in enumerate(a_blocks):
         arv, aiv = ar[:, :], ai[:, :]
         for j, (br, bi) in enumerate(b_blocks):
             brv, biv = br[:, :], bi[:, :]
             # conj(a) . b^T  =  (ar - i ai) (br + i bi)^T
-            re = (jax.lax.dot_general(arv, brv, dims,
-                                      preferred_element_type=jnp.float32)
-                  + jax.lax.dot_general(aiv, biv, dims,
-                                        preferred_element_type=jnp.float32))
-            im = (jax.lax.dot_general(arv, biv, dims,
-                                      preferred_element_type=jnp.float32)
-                  - jax.lax.dot_general(aiv, brv, dims,
-                                        preferred_element_type=jnp.float32))
+            re = dot(arv, brv) + dot(aiv, biv)
+            im = dot(arv, biv) - dot(aiv, brv)
             sl = (pl.ds(i * m, m), pl.ds(j * m, m))
             out_re[sl] += re.astype(jnp.float64)
             out_im[sl] += im.astype(jnp.float64)
+
+
+def fused_gram9_pairs(x, w, p, hx, hw, hp, chunk: int = 2048,
+                      interpret: bool = False):
+    """Pair-input entry point: each argument is an (re, im) tuple of f32
+    (m, D) planes (the lobpcg_rs layout — no complex split needed)."""
+    m, d = x[0].shape
+    nc = -(-d // chunk)
+    pad = nc * chunk - d
+
+    def prep_plane(a):
+        a = a.astype(jnp.float32)
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        return a
+
+    planes = [prep_plane(pl_) for blk in (x, w, p, hx, hw, hp)
+              for pl_ in blk]
+    return _gram9_call(planes, m, nc, chunk, interpret)
 
 
 def fused_gram9(x, w, p, hx, hw, hp, chunk: int = 2048,
@@ -79,6 +95,10 @@ def fused_gram9(x, w, p, hx, hw, hp, chunk: int = 2048,
     planes = []
     for a in (x, w, p, hx, hw, hp):
         planes.extend(prep(a))
+    return _gram9_call(planes, m, nc, chunk, interpret)
+
+
+def _gram9_call(planes, m, nc, chunk, interpret):
 
     in_spec = pl.BlockSpec((m, chunk), lambda c: (0, c))
     out_spec = pl.BlockSpec((3 * m, 3 * m), lambda c: (0, 0))
@@ -92,3 +112,11 @@ def fused_gram9(x, w, p, hx, hw, hp, chunk: int = 2048,
         interpret=interpret,
     )(*planes)
     return t_re, t_im
+
+
+def gram9_pairs_auto(x, w, p, hx, hw, hp, chunk: int = 2048):
+    """fused_gram9_pairs with interpret mode auto-selected: compiled Pallas
+    on TPU, interpreter on CPU (tests/virtual meshes)."""
+    interpret = jax.default_backend() == "cpu"
+    return fused_gram9_pairs(x, w, p, hx, hw, hp, chunk=chunk,
+                             interpret=interpret)

@@ -37,3 +37,23 @@ def test_fused_gram9_padding(rng):
     re, im = rr.gram_f64(x, hx)
     np.testing.assert_allclose(np.asarray(t_re)[:m, :m], np.asarray(re),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_rr_gram_pallas_solver_end_to_end():
+    """solver_opts={'rr_gram': 'pallas'} routes the production solver's
+    Rayleigh-Ritz Gram through the fused Pallas kernel (interpret mode on
+    CPU) and reproduces the XLA-Gram solve."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+
+    cfg = ProblemConfig(n=8, lattice="sc_curv", nev=4)
+    alpha = np.array([np.pi, 0.2, 0.0])
+    kw = dict(dtype=jnp.complex128, solver_impl="rs", real_boundary=True,
+              refine=False)
+    r_x = KPointSolver(cfg, **kw).solve(alpha, seed=3)
+    r_p = KPointSolver(cfg, solver_opts={"rr_gram": "pallas"},
+                       **kw).solve(alpha, seed=3)
+    assert r_p.status in (1, 5)
+    np.testing.assert_allclose(r_p.omega_re, r_x.omega_re, atol=5e-9)

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""TPU band-library production runner: reproduce a reference band library
+at full resolution (VERDICT round-1 items 1-2).
+
+Runs the checkpointed band sweep (pcx.bandstructure.bandgap) under a
+supervisor loop: the sweep writes its JSON library after every k-point, so
+a device fault costs exactly the in-flight k-point — the supervisor
+restarts the worker subprocess, which resumes from the library and retries
+failed ([-1,-1]) records up to --max-rounds times.  The JAX persistent
+compile cache makes restarts cheap (the solve program compiles once per
+(grid, block width, dtype)).
+
+Usage:
+  python tools/run_sweep.py --n 120 --lattice sc_curv [--diel chiral]
+      [--output output_c64] [--gap 20] [--max-rounds 4]
+Then golden-diff against /root/reference/paper_2/output/<diel>/bandgap_*.json
+with tools/golden_diff.py.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join({repo!r}, ".jax_cache"))
+import jax
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+except Exception:
+    pass
+import jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+from pcx.bandstructure import bandgap
+cpu = jax.default_backend() == "cpu"
+err = bandgap(n={n}, lattice={lattice!r}, diel_type={diel!r},
+              eps_opt={eps_opt}, output_dir={output!r}, gap={gap},
+              dtype=(jnp.complex128 if cpu else jnp.complex64),
+              maxiter={maxiter}, nev={nev}, k_batch={k_batch},
+              metrics_path={metrics!r})
+sys.exit(2 if err else 0)
+"""
+
+
+def library_status(path, lattice, n):
+    if not os.path.exists(path):
+        return None, None
+    with open(path) as f:
+        lib = json.load(f)
+    it = lib.get(f"{lattice}_{n}_iterations", [])
+    pending = [i for i, r in enumerate(it) if r[0] == 0]
+    failed = [i for i, r in enumerate(it) if r[0] == -1]
+    return pending, failed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=120)
+    ap.add_argument("--lattice", default="sc_curv")
+    ap.add_argument("--diel", default="chiral")
+    ap.add_argument("--eps-opt", type=int, default=0)
+    ap.add_argument("--output", default="output_c64")
+    ap.add_argument("--gap", type=int, default=20)
+    ap.add_argument("--nev", type=int, default=10)
+    ap.add_argument("--maxiter", type=int, default=500)
+    ap.add_argument("--k-batch", type=int, default=1)
+    ap.add_argument("--max-rounds", type=int, default=4)
+    ap.add_argument("--metrics", default=None)
+    args = ap.parse_args()
+
+    suffix = str(args.eps_opt) if args.eps_opt else ""
+    path = os.path.join(args.output, args.diel,
+                        f"bandgap_{args.lattice}{suffix}.json")
+    worker = WORKER.format(repo=REPO, n=args.n, lattice=args.lattice,
+                           diel=args.diel, eps_opt=args.eps_opt,
+                           output=args.output, gap=args.gap,
+                           nev=args.nev, maxiter=args.maxiter,
+                           k_batch=args.k_batch, metrics=args.metrics)
+
+    for rnd in range(args.max_rounds):
+        t0 = time.time()
+        r = subprocess.run([sys.executable, "-c", worker], cwd=REPO)
+        pending, failed = library_status(path, args.lattice, args.n)
+        print(f"# round {rnd}: rc={r.returncode}, {time.time()-t0:.0f}s, "
+              f"pending={len(pending or [])}, failed={len(failed or [])}",
+              flush=True)
+        if pending == [] and failed == []:
+            print(f"# COMPLETE: {path}")
+            return 0
+        # Crash (device fault) or failures recorded: restart/resume.  Give
+        # the tunneled device time to release before reattaching.
+        time.sleep(30)
+    print(f"# INCOMPLETE after {args.max_rounds} rounds: "
+          f"pending={pending}, failed={failed}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
