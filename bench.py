@@ -26,31 +26,40 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 
 
-def _tpu_healthy(timeout_s: int = 420, retries: int = 2) -> bool:
-    """Probe the accelerator in a SUBPROCESS (a wedged backend hangs the
-    probing process; the bench itself must survive to emit its JSON).
+def _run_wrapped(timeout_s: int = 3600) -> int:
+    """Run the real benchmark as a WATCHDOGGED SUBPROCESS: a wedged tunnel
+    backend hangs the process that touches it, so the supervisor (this
+    process) must survive to emit a JSON line for the driver either way.
 
-    The tunneled device is exclusive and takes MINUTES to release after
-    the previous process exits (measured 3m40s for a trivial program right
-    after a bench) — so the timeout is generous and the probe retries
-    after a cool-down rather than declaring the backend dead."""
+    No separate health probe: in degraded tunnel states the FIRST program
+    of every process takes ~12 min to return (measured 2026-08-17: 724-980s
+    for (x+1).sum(), subsequent compiles ~1.5 s), so probing would double
+    the warmup cost.  The subprocess streams its stderr through; on
+    success its stdout JSON is re-emitted, on timeout/crash we fall back
+    to a small CPU record marked _cpu_fallback."""
     import subprocess
-    import time as _time
-    code = ("import jax, jax.numpy as jnp;"
-            "print(float(jax.jit(lambda x:(x+1).sum())(jnp.ones(8))))")
-    for attempt in range(retries):
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, timeout=timeout_s)
-            if r.returncode == 0 and b"16.0" in r.stdout:
-                return True
-        except Exception:
-            pass
-        if attempt + 1 < retries:
-            print("# TPU probe failed; cooling down 120 s and retrying",
-                  file=sys.stderr)
-            _time.sleep(120)
-    return False
+    args = [a for a in sys.argv[1:]]
+    try:
+        r = subprocess.run([sys.executable, sys.argv[0]] + args
+                           + ["--inner"], stdout=subprocess.PIPE,
+                           timeout=timeout_s)
+        lines = [ln for ln in r.stdout.decode().splitlines() if ln.strip()]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print(f"# TPU bench subprocess rc={r.returncode}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"# TPU bench subprocess timed out ({timeout_s}s)",
+              file=sys.stderr)
+    # Fallback: CPU record so the driver always gets data.
+    r = subprocess.run([sys.executable, sys.argv[0]] + args
+                       + ["--inner", "--cpu", "--fallback-tag"],
+                       stdout=subprocess.PIPE, timeout=timeout_s)
+    lines = [ln for ln in r.stdout.decode().splitlines() if ln.strip()]
+    if r.returncode == 0 and lines:
+        print(lines[-1])
+        return 0
+    return 1
 
 
 def main():
@@ -67,16 +76,22 @@ def main():
                     help="measure mean per-k-point time over a warm-started "
                          "K-point path segment instead of one repeated point "
                          "(reference protocol: FCC N=120 sweep mean 23.12 s)")
+    ap.add_argument("--inner", action="store_true",
+                    help="run the benchmark directly (no watchdog wrapper)")
+    ap.add_argument("--fallback-tag", action="store_true",
+                    help="mark the metric as a fallback record")
     args = ap.parse_args()
 
-    fallback = False
-    if not args.cpu and not _tpu_healthy():
-        # Wedged/unavailable accelerator: fall back to CPU at a smaller N so
-        # the driver still gets a JSON record (marked by the metric name).
-        print("# WARNING: TPU backend unhealthy; falling back to CPU",
+    if not args.inner and not args.cpu:
+        sys.exit(_run_wrapped())
+
+    fallback = args.fallback_tag
+    if fallback:
+        # Wedged/unavailable accelerator: CPU record at a smaller N so the
+        # driver still gets a JSON line (marked by the metric name).
+        print("# WARNING: TPU backend unavailable; CPU fallback",
               file=sys.stderr)
         args.cpu = True
-        fallback = True
         args.n = min(args.n, 48)
         args.repeats = 1
 
