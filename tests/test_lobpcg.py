@@ -294,3 +294,28 @@ def test_sep_max_embedding_pencil(rng):
                              maxiter=600, rr_pencil="embedding")
     lam = np.sort(np.asarray(res.lambdas))[::-1][:nev]
     np.testing.assert_allclose(lam, want, rtol=1e-4)
+
+
+def test_floor_status_at_unattainable_tol():
+    """With an unattainable tolerance the c64 production solver must stop
+    via the scale-aware FLOOR gate soon after stagnating at its attainable
+    accuracy — not burn maxiter — and the result must still pass the
+    physical validation gate (VERDICT round-1 weak item 7)."""
+    import numpy as np
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+
+    cfg = ProblemConfig(n=16, lattice="sc_curv", nev=6)
+    solver = KPointSolver(cfg, dtype=jnp.complex64, tol=1e-12, maxiter=300,
+                          solver_impl="rs", real_boundary=True, refine=False)
+    r = solver.solve(np.array([np.pi, 0, 0]), seed=0)
+    assert r.status == 5, r.status          # Status.FLOOR
+    assert r.iterations < 150, r.iterations  # patience, not maxiter
+    # attainable accuracy still passes the physical gate
+    assert float(np.abs(r.omega - r.omega_re).max()) < 1e-3
+    # the floor fired within (patience + a few) iterations of the best
+    his = np.asarray(r.res_history)
+    his = his[np.isfinite(his)]
+    best_it = int(np.nanargmin(his))
+    patience = solver.solver_opts["floor_patience"]
+    assert r.iterations - best_it <= patience + 3
