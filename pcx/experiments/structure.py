@@ -31,9 +31,12 @@ DEFAULT_ALPHA = np.array([_PI, _PI, _PI])
 def eigenvector_cmp(n: int, lattice: str, alpha=DEFAULT_ALPHA,
                     nev: int = NEV, verbose: bool = True):
     """Eigenvector uniqueness up to a unit complex phase across different
-    random starts (reference: eigenvector_cmp, paper_2_test.py:87-116)."""
+    random starts (reference: eigenvector_cmp, paper_2_test.py:87-116).
+    Uses the random cold start explicitly — the study's premise is
+    INDEPENDENT starting subspaces, which the deterministic plane-wave
+    default would defeat."""
     cfg = ProblemConfig(n=n, lattice=lattice, nev=nev)
-    solver = KPointSolver(cfg, dtype=jnp.complex128)
+    solver = KPointSolver(cfg, dtype=jnp.complex128, x0_mode="random")
     r1 = solver.solve(alpha, seed=0)
     r2 = solver.solve(alpha, seed=123)
     out = []
