@@ -772,6 +772,19 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                           f"iters = {result.iterations}, "
                           f"t = {result.wall_time:<6.2f}s")
         except Exception as e:  # NaN, blowup, spurious, RR failure
+            # Distinguish NUMERICAL failures (record [-1,-1] and continue —
+            # the reference's containment, num_exp.py:467-477) from DEVICE /
+            # infrastructure faults: once the accelerator session is broken
+            # every subsequent solve errors instantly, so recording would
+            # mass-fail the whole library.  Abort instead — the supervisor
+            # (tools/run_sweep.py) restarts and resumes.
+            msg = str(e)
+            if any(tag in msg for tag in
+                   ("UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED",
+                    "device error", "RESOURCE_EXHAUSTED")):
+                print(f"{RED}DEVICE ERROR at k-points {grp}: {e} — "
+                      f"aborting sweep (resume will retry){RESET}")
+                raise
             print(f"{RED}WARNING: Error at k-points {grp}: {e}{RESET}")
             for i in grp:
                 err_index.append(i)

@@ -72,7 +72,7 @@ def main():
     ap.add_argument("--nev", type=int, default=10)
     ap.add_argument("--maxiter", type=int, default=500)
     ap.add_argument("--k-batch", type=int, default=1)
-    ap.add_argument("--max-rounds", type=int, default=4)
+    ap.add_argument("--max-rounds", type=int, default=8)
     ap.add_argument("--metrics", default=None)
     args = ap.parse_args()
 
@@ -87,7 +87,7 @@ def main():
 
     for rnd in range(args.max_rounds):
         t0 = time.time()
-        r = subprocess.run([sys.executable, "-c", worker], cwd=REPO)
+        r = subprocess.run([sys.executable, "-u", "-c", worker], cwd=REPO)
         pending, failed = library_status(path, args.lattice, args.n)
         print(f"# round {rnd}: rc={r.returncode}, {time.time()-t0:.0f}s, "
               f"pending={len(pending or [])}, failed={len(failed or [])}",
@@ -96,8 +96,9 @@ def main():
             print(f"# COMPLETE: {path}")
             return 0
         # Crash (device fault) or failures recorded: restart/resume.  Give
-        # the tunneled device time to release before reattaching.
-        time.sleep(30)
+        # the tunneled device time to release before reattaching (measured
+        # 3m40s worst case; premature reattach yields UNAVAILABLE errors).
+        time.sleep(150)
     print(f"# INCOMPLETE after {args.max_rounds} rounds: "
           f"pending={pending}, failed={failed}", file=sys.stderr)
     return 1
