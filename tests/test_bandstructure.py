@@ -134,3 +134,28 @@ def test_plane_wave_cold_start_converges_and_saves_iterations():
     assert r_pw.status in (1, 5)
     np.testing.assert_allclose(r_pw.omega_re, r_rnd.omega_re, atol=1e-6)
     assert r_pw.iterations <= r_rnd.iterations
+
+
+def test_bandgap_failure_taxonomy(tmp_path, monkeypatch):
+    """Numerical failures record [-1,-1] and the sweep continues; device /
+    infrastructure errors abort the sweep (a broken accelerator session
+    would otherwise instantly mass-fail every remaining k-point)."""
+    calls = {"n": 0}
+
+    def fake_solve(self, alpha, x0=None, seed=0, validate_result=True,
+                   verbose=False):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("NaN residuals")  # numerical: contained
+        raise RuntimeError(
+            "UNAVAILABLE: TPU device error — often a kernel fault")
+
+    monkeypatch.setattr(bs.KPointSolver, "solve", fake_solve)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        bs.bandgap(n=8, lattice="sc_flat1", nev=4, gap=4,
+                   output_dir=str(tmp_path), verbose=False)
+    lib = BandLibrary(str(tmp_path / "chiral/bandgap_sc_flat1.json"),
+                      "sc_flat1", 8, 16, 4)
+    assert lib.failed_indices() == [0]      # only the numerical failure
+    assert len(lib.pending_indices()) == 16  # device-error point NOT failed
