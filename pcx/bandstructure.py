@@ -798,6 +798,30 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     return err_index
 
 
+def bandgap_wnk_check(n: int, lattice: str, diel_type: str = "chiral",
+                      eps_opt: int = 0, output_dir: str = "output",
+                      indices=()):
+    """Inspect selected k-points of a band library: wave vector,
+    iterations/runtime, frequencies
+    (reference: bandgap_wnk_check, numerical_experiments.py:254-276)."""
+    suffix = str(eps_opt) if eps_opt else ""
+    path = f"{output_dir}/{diel_type}/bandgap_{lattice}{suffix}.json"
+    alphas = lattices.k_path(lattice)
+    lib = BandLibrary(path, lattice, n, alphas.shape[0], NEV)
+    out = []
+    for i in indices:
+        a = alphas[i] / np.pi
+        it = lib.iterations[i]
+        freq = np.asarray(lib.frequencies[i])
+        print(f"Index = {i}, wnk = ({a[0]:<6.3f}, {a[1]:<6.3f}, "
+              f"{a[2]:<6.3f})pi.")
+        print(f"Iterations = {int(it[0]):4d}, runtime = {it[1]:6.3f}s.")
+        print("List of frequencies follows as:")
+        print(freq)
+        out.append((alphas[i], it, freq))
+    return out
+
+
 def bandgap_history_check(n: int, lattice: str, diel_type: str = "chiral",
                           eps_opt: int = 0, output_dir: str = "output"):
     """Report failed/uncomputed k-points of a band library

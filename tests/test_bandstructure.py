@@ -159,3 +159,17 @@ def test_bandgap_failure_taxonomy(tmp_path, monkeypatch):
                       "sc_flat1", 8, 16, 4)
     assert lib.failed_indices() == [0]      # only the numerical failure
     assert len(lib.pending_indices()) == 16  # device-error point NOT failed
+
+
+def test_bandgap_wnk_check(tmp_path, capsys):
+    """Per-index library inspector (reference num_exp.py:254-276)."""
+    path = str(tmp_path / "chiral/bandgap_sc_flat1.json")
+    lib = BandLibrary(path, "sc_flat1", 8, 80, 10)
+    lib.record(3, 12, 1.25, np.arange(10) * 0.1)
+    out = bs.bandgap_wnk_check(8, "sc_flat1", output_dir=str(tmp_path),
+                               indices=[3])
+    assert len(out) == 1
+    alpha, it, freq = out[0]
+    assert int(it[0]) == 12
+    np.testing.assert_allclose(freq, np.arange(10) * 0.1)
+    assert "Index = 3" in capsys.readouterr().out
