@@ -528,6 +528,49 @@ class KPointSolver:
         fn = boundary.real_boundary(one) if self.rb else one
         return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, None, None)))
 
+    @lru_cache(maxsize=4)
+    def _jitted_batch_rs(self, m: int, bsize: int):
+        """Vmapped pair-layout batch solve with DEVICE-built symbols: the
+        production (rs) analog of _jitted_batch — shared (N,) stencil
+        parts, per-k alpha/pnt/shift, one compiled program for the whole
+        group."""
+        nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
+                                      self.locking)
+        opts = self.solver_opts
+        rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
+                        "maxstagniter", "use_p", "rr_gram")
+        rs_opts = {k: v for k, v in opts.items() if k in rs_supported}
+
+        def one(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
+            rdt = x0.real.dtype
+            d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
+            b_diag64, b_sd64 = rs.penalty_p(d_a64, pnt)
+            i_diag64, i_sd64 = rs.inverse_penalized_p(d_a64, pnt, shift)
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(rdt), t)
+            d_ap, b_diag, b_sd = cast(d_a64), cast(b_diag64), cast(b_sd64)
+            i_diag, i_sd = cast(i_diag64), cast(i_sd64)
+            wf = (dft.fwd.real, dft.fwd.imag)
+            wi = (dft.inv.real, dft.inv.imag)
+            x0p = (x0.real, x0.imag)
+
+            def h_func(v):
+                return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
+                                   shift=shift.astype(rdt))
+
+            def p_func(v):
+                return rs.h_block_p(v, i_diag, i_sd)
+
+            res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
+                                       maxiter=maxiter, locking=locking,
+                                       **rs_opts)
+            return res._replace(x=jax.lax.complex(*res.x).astype(x0.dtype),
+                                lambdas=res.lambdas.astype(rdt))
+
+        fn = boundary.real_boundary(one) if self.rb else one
+        return jax.jit(jax.vmap(
+            fn, in_axes=(None, None, None, 0, 0, 0, 0, None, None)))
+
     def solve_batch(self, alphas, x0s=None, seed: int = 0,
                     validate_result: bool = True):
         """Solve a batch of k-points in one vmapped program.  All k-points
@@ -540,15 +583,20 @@ class KPointSolver:
             raise ValueError(f"batch mixes block widths {ms}")
         m = ms.pop()
         bsize = len(alphas)
-        packs = [self._symbols_np(a) for a in alphas]
-        d_a_np = np.stack([p[0] for p in packs])
-        b_np = sym.HermSymbol(np.stack([p[1].diag for p in packs]),
-                              np.stack([p[1].sdiag for p in packs]))
-        inv_np = sym.HermSymbol(np.stack([p[2].diag for p in packs]),
-                                np.stack([p[2].sdiag for p in packs]))
-        d_a, b, inv = self._place((d_a_np, b_np, inv_np))
-        shifts = jnp.asarray(
-            np.asarray([p[3] for p in packs], dtype=self.rdt))
+        shifts_pnts = []
+        for a in alphas:
+            (sh, _), pnt = set_relaxation(a)
+            shifts_pnts.append((float(sh) / cfg.scal**2, float(pnt)))
+        if not self.dev_sym:
+            packs = [self._symbols_np(a) for a in alphas]
+            d_a_np = np.stack([p[0] for p in packs])
+            b_np = sym.HermSymbol(np.stack([p[1].diag for p in packs]),
+                                  np.stack([p[1].sdiag for p in packs]))
+            inv_np = sym.HermSymbol(np.stack([p[2].diag for p in packs]),
+                                    np.stack([p[2].sdiag for p in packs]))
+            d_a, b, inv = self._place((d_a_np, b_np, inv_np))
+            shifts = jnp.asarray(
+                np.asarray([p[3] for p in packs], dtype=self.rdt))
         if x0s is None:
             blocks = [self._x0_cold(a, m, seed + i)
                       for i, a in enumerate(alphas)]
@@ -563,9 +611,21 @@ class KPointSolver:
             else:
                 x0s = jnp.stack(blocks)
 
-        run = self._jitted_batch(m, bsize)
         t0 = time.time()
-        res = run(d_a, b, inv, shifts, x0s, self.diel, self.dft)
+        if self.dev_sym:
+            f = self._f64
+            run = self._jitted_batch_rs(m, bsize)
+            res = run(f["d1"], f["d0"], f["ct"],
+                      jnp.asarray(np.stack([np.asarray(a, np.float64)
+                                            for a in alphas])),
+                      jnp.asarray(np.asarray([sp[1] for sp in shifts_pnts],
+                                             np.float64)),
+                      jnp.asarray(np.asarray([sp[0] for sp in shifts_pnts],
+                                             np.float64)),
+                      x0s, self.diel, self.dft)
+        else:
+            run = self._jitted_batch(m, bsize)
+            res = run(d_a, b, inv, shifts, x0s, self.diel, self.dft)
         res.lambdas.block_until_ready()
         wall = time.time() - t0
 
@@ -578,14 +638,21 @@ class KPointSolver:
             omega = omega_re = None
             if status in (lob.Status.CONVERGED, lob.Status.FLOOR,
                           lob.Status.MAXITER) and validate_result:
-                shift = float(packs[i][3])
-                lam_pen = lambdas - (shift if shift > 0 else 0.0)
-                lam_re, res_nrm = stats(
-                    d_a[i], self.diel, res.x[i],
-                    jnp.asarray(lam_pen.astype(self.rdt)), self.dft)
-                report = validate.recompute(
-                    lambdas[: cfg.nev], shift=shift, scal=cfg.scal,
-                    stats=(np.asarray(lam_re), np.asarray(res_nrm)))
+                shift = shifts_pnts[i][0]
+                if self.refine:
+                    report, _th, _x = self._refine_report(alpha, res.x[i])
+                else:
+                    if self.dev_sym:
+                        d_a_i = self.symbols_for(alpha)[0]
+                    else:
+                        d_a_i = d_a[i]
+                    lam_pen = lambdas - (shift if shift > 0 else 0.0)
+                    lam_re, res_nrm = stats(
+                        d_a_i, self.diel, res.x[i],
+                        jnp.asarray(lam_pen.astype(self.rdt)), self.dft)
+                    report = validate.recompute(
+                        lambdas[: cfg.nev], shift=shift, scal=cfg.scal,
+                        stats=(np.asarray(lam_re), np.asarray(res_nrm)))
                 omega, omega_re = report.omega_pnt, report.omega_re
             out.append(EigenResult(
                 omega=omega, omega_re=omega_re, lambdas=lambdas,

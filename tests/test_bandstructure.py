@@ -173,3 +173,20 @@ def test_bandgap_wnk_check(tmp_path, capsys):
     assert int(it[0]) == 12
     np.testing.assert_allclose(freq, np.arange(10) * 0.1)
     assert "Index = 3" in capsys.readouterr().out
+
+
+def test_solve_batch_rs_matches_serial():
+    """Vmapped pair-layout batch (device-built symbols) reproduces serial
+    rs solves — the TPU k-batch throughput path."""
+    import jax.numpy as jnp
+    from pcx.config import ProblemConfig
+    cfg = ProblemConfig(n=8, lattice="sc_flat1", nev=4)
+    solver = bs.KPointSolver(cfg, dtype=jnp.complex128, solver_impl="rs",
+                             real_boundary=True, refine=False)
+    alphas = [np.array([np.pi, 0, 0]), np.array([np.pi, np.pi, 0])]
+    batch = solver.solve_batch(alphas, seed=3)
+    for a, rb_res in zip(alphas, batch):
+        r_ser = solver.solve(a, seed=11)
+        assert rb_res.status in (1, 5)
+        np.testing.assert_allclose(rb_res.omega_re, r_ser.omega_re,
+                                   atol=2e-5)
