@@ -58,7 +58,8 @@ class KPointSolver:
                  real_boundary: Optional[bool] = None,
                  fft_mode: str = "auto", refine: Optional[bool] = None,
                  apply_chunk: Optional[int] = None,
-                 solver_impl: str = "auto", x0_mode: str = "plane_wave"):
+                 solver_impl: str = "auto", x0_mode: str = "plane_wave",
+                 segment_iters: Optional[int] = None):
         self.cfg = cfg
         self.dtype = dtype
         # Cold-start policy: "plane_wave" seeds with transverse plane waves
@@ -150,6 +151,19 @@ class KPointSolver:
         # (reference rebuilds cheap per-k symbols on device,
         # num_exp.py:434-446).
         self.dev_sym = self.impl == "rs"
+        # Segmented (trampolined) execution: bound every solve device
+        # program to this many LOBPCG iterations, re-entering with the
+        # device-resident state.  The tunneled axon TPU kills any single
+        # program that EXECUTES >~60 s (measured 2026-08-17: near-Gamma
+        # N=120 solves needing >80 iterations faulted at ~60 s while every
+        # shorter run of the same executable succeeded); 40 iterations is
+        # ~11 s at N=120, ~21 s at N=150.  Auto: on for the rs path on
+        # accelerators, off on CPU (tests pin the one-shot trace; segment
+        # equivalence has its own test).  0 disables.
+        if segment_iters is None:
+            segment_iters = 40 if (self.dev_sym
+                                   and jax.default_backend() != "cpu") else 0
+        self.segment_iters = int(segment_iters)
         if self.refine or self.dev_sym:
             d1 = stencils.symbol_1d(cfg.n, cfg.k, 1, 1.0 / cfg.n) / cfg.scal
             d0 = stencils.symbol_1d(cfg.n, cfg.k, 0) / cfg.scal
@@ -289,6 +303,108 @@ class KPointSolver:
         else:
             run, stats = jax.jit(core), jax.jit(stats_core)
         return run, stats
+
+    @lru_cache(maxsize=8)
+    def _jitted_seg(self, m: int):
+        """Segmented (trampolined) rs solve: three jitted programs — init,
+        bounded run, finalize — so no single device program's EXECUTION
+        exceeds the axon tunnel's ~60 s kill window (see __init__ docnote
+        on segment_iters).  The all-real solver state stays device-resident
+        between segments; each re-entry ships only (N,)-sized symbol parts
+        and scalars, and the host reads back just the (it, status) pair.
+        Semantics are identical to the one-shot run (the segment boundary
+        is an extra ``it < it_stop`` conjunct on the same while_loop;
+        tests/test_lobpcg_rs.py pins segmented == one-shot on CPU)."""
+        assert self.impl == "rs" and self.dev_sym
+        nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
+                                      self.locking)
+        n = self.cfg.n
+        opts = self.solver_opts
+        rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
+                        "maxstagniter", "use_p", "rr_gram")
+        dropped = sorted(set(opts) - set(rs_supported))
+        if dropped:
+            raise ValueError(
+                f"solver_opts {dropped} are not supported by the "
+                f"pair-layout solver (solver_impl='rs'); pass "
+                f"solver_impl='complex' to use them")
+        rs_opts = {k: v for k, v in opts.items() if k in rs_supported}
+
+        chunk = self.apply_chunk
+        c = max((d for d in range(1, min(chunk, m) + 1) if m % d == 0),
+                default=0) if chunk else 0
+
+        def funcs(d1, d0, ct, alpha, pnt, shift, rdt, diel, dft):
+            """h/p callables from device-built symbols (exactly the
+            run_core_rs_dev prologue in _jitted)."""
+            d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
+            b_diag64, b_sd64 = rs.penalty_p(d_a64, pnt)
+            inv_diag64, inv_sd64 = rs.inverse_penalized_p(d_a64, pnt, shift)
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(rdt), t)
+            d_ap, b_diag, b_sd = cast(d_a64), cast(b_diag64), cast(b_sd64)
+            inv_diag, inv_sd = cast(inv_diag64), cast(inv_sd64)
+            sh = shift.astype(rdt)
+            wf = (dft.fwd.real, dft.fwd.imag)
+            wi = (dft.inv.real, dft.inv.imag)
+
+            def h_one(v):
+                return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
+                                   shift=sh)
+
+            if c and m > c:
+                def h_func(v):
+                    vc = tuple(a.reshape((m // c, c) + a.shape[1:])
+                               for a in v)
+                    out = jax.lax.map(h_one, vc)
+                    return tuple(a.reshape((m,) + a.shape[2:]) for a in out)
+            else:
+                h_func = h_one
+
+            def p_func(v):
+                return rs.h_block_p(v, inv_diag, inv_sd)
+
+            return h_func, p_func
+
+        def parts_for(h_func, p_func, rdt):
+            return lob_rs.rs_solver_parts(
+                h_func, p_func, (m, 3, n, n, n), rdt, nev, tol=tol,
+                maxiter=maxiter, locking=locking, **rs_opts)
+
+        def init_core(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
+            rdt = x0.real.dtype
+            h_func, p_func = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
+                                   diel, dft)
+            init, _, _ = parts_for(h_func, p_func, rdt)
+            return init((x0.real, x0.imag))
+
+        def run_core(d1, d0, ct, alpha, pnt, shift, state, diel, dft,
+                     it_stop):
+            rdt = state["x"][0].dtype
+            h_func, p_func = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
+                                   diel, dft)
+            _, run_to, _ = parts_for(h_func, p_func, rdt)
+            return run_to(state, it_stop)
+
+        def fin_core(state):
+            rdt = state["x"][0].dtype
+            xc = jax.lax.complex(state["x"][0], state["x"][1])
+            xc = xc.reshape((m, 3, n, n, n)).astype(self.dtype)
+            status = jnp.where(state["status"] == lob.Status.RUNNING,
+                               lob.Status.MAXITER,
+                               state["status"]).astype(jnp.int32)
+            return lob.SolveResult(
+                lambdas=state["lambdas"].astype(rdt), x=xc,
+                iterations=state["it"], status=status,
+                res_history=state["res_his"])
+
+        wrap = boundary.real_boundary if self.rb else (lambda f: f)
+        # Donating the state buffers into each segment keeps a single copy
+        # of the ~2.6 GB (N=120) carry in HBM across re-entries.
+        seg_init = jax.jit(wrap(init_core))
+        seg_run = jax.jit(wrap(run_core), donate_argnums=(6,))
+        seg_fin = jax.jit(wrap(fin_core))
+        return seg_init, seg_run, seg_fin
 
     @lru_cache(maxsize=8)
     def _refine_jit(self, m: int):
@@ -698,12 +814,32 @@ class KPointSolver:
             (shift, _), pnt = set_relaxation(alpha)
             shift = float(shift) / cfg.scal**2
             f = self._f64
-            t0 = time.time()
-            res = run(f["d1"], f["d0"], f["ct"],
-                      jnp.asarray(np.asarray(alpha, np.float64)),
-                      jnp.asarray(np.float64(pnt)),
-                      jnp.asarray(np.float64(shift)),
-                      x0, self.diel, self.dft)
+            sym_args = (f["d1"], f["d0"], f["ct"],
+                        jnp.asarray(np.asarray(alpha, np.float64)),
+                        jnp.asarray(np.float64(pnt)),
+                        jnp.asarray(np.float64(shift)))
+            seg = self.segment_iters
+            if seg > 0:
+                # Trampolined solve: init once, then re-enter the bounded
+                # while_loop with the device-resident state until the
+                # solver terminates (only (it, status) scalars come back
+                # per segment).
+                seg_init, seg_run, seg_fin = self._jitted_seg(m)
+                t0 = time.time()
+                state = seg_init(*sym_args, x0, self.diel, self.dft)
+                it = 0
+                for _ in range(-(-self.maxiter // seg) + 2):
+                    stop = jnp.asarray(min(it + seg, self.maxiter),
+                                       jnp.int32)
+                    state = seg_run(*sym_args, state, self.diel,
+                                    self.dft, stop)
+                    st, it = int(state["status"]), int(state["it"])
+                    if st != lob.Status.RUNNING or it >= self.maxiter:
+                        break
+                res = seg_fin(state)
+            else:
+                t0 = time.time()
+                res = run(*sym_args, x0, self.diel, self.dft)
         else:
             d_a, b, inv, shift = self.symbols_for(alpha)
             t0 = time.time()

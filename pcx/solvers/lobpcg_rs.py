@@ -37,10 +37,11 @@ def _axpy(a, x: Pair, y: Pair) -> Pair:
     return (a * x[0] + y[0], a * x[1] + y[1])
 
 
-def lobpcg_sep_rs(
+def rs_solver_parts(
     h_func: Callable[[Pair], Pair],
     p_func: Callable[[Pair], Pair],
-    x0: Pair,
+    shape: Tuple[int, ...],
+    rdtype,
     nev: int,
     *,
     shift: float = 0.0,
@@ -54,34 +55,42 @@ def lobpcg_sep_rs(
     reduce_axis=None,
     use_p: bool = True,
     rr_gram: str = "xla",
-) -> SolveResult:
-    """LOBPCG on pair blocks; returns SolveResult with ``x`` as a pair.
+):
+    """Factory for the pair-layout LOBPCG as three composable traced parts:
 
-    ``rr_gram``: "xla" computes the stacked 3m-wide Rayleigh-Ritz Gram via
-    dot_general (chunked f64 accumulation); "pallas" streams the six basis
-    blocks through the fused single-HBM-pass Pallas kernel
-    (pcx.operators.pallas_kernels.fused_gram9_pairs — VERDICT round-1
-    item 4; interpret-mode on CPU).  "pallas" requires reduce_axis=None.
+    ``init(x0) -> state``        orthonormalize + Ritz-rotate the start block
+    ``run_to(state, it_stop)``   iterate until termination OR ``it >= it_stop``
+    ``finalize(state)``          SolveResult (RUNNING mapped to MAXITER)
+
+    ``shape`` is the block shape of x0 (e.g. ``(m, 3, N, N, N)``) and
+    ``rdtype`` its real dtype; both must be static.
+
+    Why parts instead of one function: the axon-tunneled TPU kills any
+    single device program that EXECUTES longer than ~60 s (measured
+    2026-08-17: a near-Gamma N=120 solve needing >80 iterations faulted at
+    ~60 s of run time, while every <60 s program of the same executable
+    succeeded).  A host trampoline jits ``run_to`` once with a dynamic
+    ``it_stop`` and re-enters it with the device-resident state, bounding
+    every program to ``segment_iters`` iterations.  ``lobpcg_sep_rs``
+    composes the same parts into the original single-program form, so CPU
+    tests pin both paths to identical semantics.
     """
     if rr_gram not in ("xla", "pallas"):
         raise ValueError(f"unknown rr_gram {rr_gram!r}")
     if rr_gram == "pallas" and reduce_axis is not None:
         raise ValueError("rr_gram='pallas' does not psum over a mesh axis")
-    m = x0[0].shape[0]
-    rdtype = x0[0].dtype
+    m = shape[0]
+    rdtype = jnp.dtype(rdtype)
     tiny = float(jnp.finfo(rdtype).tiny ** 0.5)
     dim = 1
-    for d in x0[0].shape[1:]:
+    for d in shape[1:]:
         dim *= d
     noise_floor = 30.0 * (dim ** 0.5) * float(jnp.finfo(rdtype).eps)
-    bshape = (-1,) + (1,) * (x0[0].ndim - 1)
 
     if shift != 0.0:
         h_in = h_func
         sh = jnp.asarray(shift, rdtype)
         h_func = lambda v: _axpy(sh, v, h_in(v))
-
-    shape = x0[0].shape
 
     def flat(a: Pair) -> Pair:
         return (a[0].reshape(m, -1), a[1].reshape(m, -1))
@@ -90,36 +99,39 @@ def lobpcg_sep_rs(
         return (a[0].reshape(shape), a[1].reshape(shape))
 
     ones_m = jnp.ones((m,), rdtype)
-
-    # ---- initialization: orthonormalize + Ritz-rotate ----------------------
-    x = x0
-    n0 = rr.colnorms_p(flat(x), axis_name=reduce_axis)
-    x = rr.scale_cols_p(x, 1.0 / jnp.maximum(n0, tiny))
-    xf, _, _ = rr.masked_svqb_drop_p(flat(x), ones_m, noise_floor,
-                                     axis_name=reduce_axis, passes=1)
-    hxf = flat(h_func(unflat(xf)))
-    t_re, t_im = rr.gram_f64_p(xf, hxf, axis_name=reduce_axis)
     rr_split = rr.split_for(rdtype)
-    theta0, v_re, v_im = rr.eigh_f64_embedding(
-        0.5 * (t_re + t_re.T), 0.5 * (t_im - t_im.T), split=rr_split)
-    c0 = (v_re.astype(rdtype), v_im.astype(rdtype))
-    xf = rr.mix_pair(c0, xf)
-    hxf = rr.mix_pair(c0, hxf)
-    lambdas0 = theta0.astype(rdtype)
 
-    zeros_f = (jnp.zeros_like(xf[0]), jnp.zeros_like(xf[1]))
-    state0 = dict(
-        it=jnp.asarray(0, jnp.int32),
-        status=jnp.asarray(Status.RUNNING, jnp.int32),
-        lambdas=lambdas0,
-        x=xf, hx=hxf, p=zeros_f, hp=zeros_f,
-        res_his=jnp.full((maxiter,), jnp.nan, rdtype),
-        best_res=jnp.asarray(jnp.inf, rdtype),
-        best_it=jnp.asarray(0, jnp.int32),
-    )
+    def init(x0: Pair) -> dict:
+        # ---- initialization: orthonormalize + Ritz-rotate ------------------
+        x = x0
+        n0 = rr.colnorms_p(flat(x), axis_name=reduce_axis)
+        x = rr.scale_cols_p(x, 1.0 / jnp.maximum(n0, tiny))
+        xf, _, _ = rr.masked_svqb_drop_p(flat(x), ones_m, noise_floor,
+                                         axis_name=reduce_axis, passes=1)
+        hxf = flat(h_func(unflat(xf)))
+        t_re, t_im = rr.gram_f64_p(xf, hxf, axis_name=reduce_axis)
+        theta0, v_re, v_im = rr.eigh_f64_embedding(
+            0.5 * (t_re + t_re.T), 0.5 * (t_im - t_im.T), split=rr_split)
+        c0 = (v_re.astype(rdtype), v_im.astype(rdtype))
+        xf2 = rr.mix_pair(c0, xf)
+        hxf2 = rr.mix_pair(c0, hxf)
+        lambdas0 = theta0.astype(rdtype)
+
+        zeros_f = (jnp.zeros_like(xf2[0]), jnp.zeros_like(xf2[1]))
+        return dict(
+            it=jnp.asarray(0, jnp.int32),
+            it_stop=jnp.asarray(maxiter, jnp.int32),
+            status=jnp.asarray(Status.RUNNING, jnp.int32),
+            lambdas=lambdas0,
+            x=xf2, hx=hxf2, p=zeros_f, hp=zeros_f,
+            res_his=jnp.full((maxiter,), jnp.nan, rdtype),
+            best_res=jnp.asarray(jnp.inf, rdtype),
+            best_it=jnp.asarray(0, jnp.int32),
+        )
 
     def cond_fun(s):
-        return (s["status"] == Status.RUNNING) & (s["it"] < maxiter)
+        return ((s["status"] == Status.RUNNING) & (s["it"] < maxiter)
+                & (s["it"] < s["it_stop"]))
 
     def body_fun(s):
         it = s["it"]
@@ -256,20 +268,66 @@ def lobpcg_sep_rs(
             new_status = jnp.where(nan_rr, Status.NAN,
                                    Status.RUNNING).astype(jnp.int32)
             return dict(
-                it=it + 1, status=new_status, lambdas=theta,
+                it=it + 1, it_stop=s["it_stop"], status=new_status,
+                lambdas=theta,
                 x=x_new, hx=hx_new, p=p_new, hp=hp_new,
                 res_his=res_his, best_res=best_res, best_it=best_it,
             )
 
         return lax.cond(status != Status.RUNNING, finish, step, None)
 
-    final = lax.while_loop(cond_fun, body_fun, state0)
-    status = jnp.where(final["status"] == Status.RUNNING,
-                       Status.MAXITER, final["status"]).astype(jnp.int32)
-    return SolveResult(
-        lambdas=final["lambdas"] - jnp.asarray(shift, rdtype),
-        x=unflat(final["x"]),
-        iterations=final["it"],
-        status=status,
-        res_history=final["res_his"],
-    )
+    def run_to(state: dict, it_stop) -> dict:
+        state = dict(state, it_stop=jnp.asarray(it_stop, jnp.int32))
+        return lax.while_loop(cond_fun, body_fun, state)
+
+    def finalize(state: dict) -> SolveResult:
+        status = jnp.where(state["status"] == Status.RUNNING,
+                           Status.MAXITER, state["status"]).astype(jnp.int32)
+        return SolveResult(
+            lambdas=state["lambdas"] - jnp.asarray(shift, rdtype),
+            x=unflat(state["x"]),
+            iterations=state["it"],
+            status=status,
+            res_history=state["res_his"],
+        )
+
+    return init, run_to, finalize
+
+
+def lobpcg_sep_rs(
+    h_func: Callable[[Pair], Pair],
+    p_func: Callable[[Pair], Pair],
+    x0: Pair,
+    nev: int,
+    *,
+    shift: float = 0.0,
+    tol: float = TOL,
+    maxiter: int = MAXITER,
+    locking: bool = True,
+    maxstagniter: int = 50,
+    ortho_passes: int = 2,
+    refresh_every: int = 5,
+    floor_patience: int = 9,
+    reduce_axis=None,
+    use_p: bool = True,
+    rr_gram: str = "xla",
+) -> SolveResult:
+    """LOBPCG on pair blocks; returns SolveResult with ``x`` as a pair.
+
+    Single-program composition of :func:`rs_solver_parts` (init -> full
+    while_loop -> finalize): the exact trace previous rounds shipped, for
+    CPU tests and backends with no program-runtime limit.
+
+    ``rr_gram``: "xla" computes the stacked 3m-wide Rayleigh-Ritz Gram via
+    dot_general (chunked f64 accumulation); "pallas" streams the six basis
+    blocks through the fused single-HBM-pass Pallas kernel
+    (pcx.operators.pallas_kernels.fused_gram9_pairs — VERDICT round-1
+    item 4; interpret-mode on CPU).  "pallas" requires reduce_axis=None.
+    """
+    init, run_to, finalize = rs_solver_parts(
+        h_func, p_func, x0[0].shape, x0[0].dtype, nev,
+        shift=shift, tol=tol, maxiter=maxiter, locking=locking,
+        maxstagniter=maxstagniter, ortho_passes=ortho_passes,
+        refresh_every=refresh_every, floor_patience=floor_patience,
+        reduce_axis=reduce_axis, use_p=use_p, rr_gram=rr_gram)
+    return finalize(run_to(init(x0), maxiter))

@@ -313,3 +313,61 @@ def test_floor_status_at_unattainable_tol():
     assert r.iterations < 150, r.iterations  # patience fired, not maxiter
     # attainable accuracy still passes the physical gate
     assert float(np.abs(r.omega - r.omega_re).max()) < 1e-3
+
+
+def test_rs_parts_segmented_matches_oneshot(rng):
+    """Trampolined execution (rs_solver_parts with small it_stop segments,
+    the axon-TPU production driver) must reproduce the one-shot
+    lobpcg_sep_rs exactly: same termination status, iteration count, and
+    eigenvalues."""
+    from pcx.solvers.lobpcg_rs import lobpcg_sep_rs, rs_solver_parts
+    from pcx.solvers.lobpcg import Status
+    n, nev = 100, 5
+    a = _random_hpd(n, rng)
+    x0c = (rng.normal(size=(nev + 4, n))
+           + 1j * rng.normal(size=(nev + 4, n)))
+    ar = jnp.asarray(a.real, jnp.float64)
+    ai = jnp.asarray(a.imag, jnp.float64)
+
+    def h_pair(v):
+        return (v[0] @ ar.T - v[1] @ ai.T, v[0] @ ai.T + v[1] @ ar.T)
+
+    ident = lambda v: v
+    x0p = (jnp.asarray(x0c.real), jnp.asarray(x0c.imag))
+    one = lobpcg_sep_rs(h_pair, ident, x0p, nev, tol=1e-8, maxiter=300)
+
+    init, run_to, finalize = rs_solver_parts(
+        h_pair, ident, x0p[0].shape, x0p[0].dtype, nev,
+        tol=1e-8, maxiter=300)
+    state = init(x0p)
+    it = 0
+    for _ in range(300 // 7 + 3):
+        state = run_to(state, min(it + 7, 300))
+        it = int(state["it"])
+        if int(state["status"]) != Status.RUNNING or it >= 300:
+            break
+    seg = finalize(state)
+
+    assert int(seg.status) == int(one.status)
+    assert int(seg.iterations) == int(one.iterations)
+    np.testing.assert_allclose(np.asarray(seg.lambdas),
+                               np.asarray(one.lambdas), rtol=1e-10)
+
+
+def test_kpoint_solver_segmented_matches_oneshot():
+    """KPointSolver(segment_iters=k) must match segment_iters=0 on the rs
+    Maxwell path (frequencies and iteration count) — pins the sweep's
+    trampolined driver to the tested one-shot trace."""
+    import numpy as np
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+
+    cfg = ProblemConfig(n=8, lattice="sc_flat1", nev=4)
+    kw = dict(dtype=jnp.complex128, solver_impl="rs", real_boundary=True,
+              refine=False)
+    alpha = np.array([np.pi / 10, 0.0, 0.0])  # near-Gamma: the fault regime
+    r_one = KPointSolver(cfg, segment_iters=0, **kw).solve(alpha, seed=2)
+    r_seg = KPointSolver(cfg, segment_iters=5, **kw).solve(alpha, seed=2)
+    assert r_seg.status == r_one.status
+    assert r_seg.iterations == r_one.iterations
+    np.testing.assert_allclose(r_seg.omega_re, r_one.omega_re, atol=1e-8)
