@@ -304,6 +304,43 @@ class KPointSolver:
             run, stats = jax.jit(core), jax.jit(stats_core)
         return run, stats
 
+    def _rs_hp_builder(self, m: int, c: int):
+        """Traced builder of the rs (h_func, p_func) pair from device-built
+        symbols — exactly the run_core_rs_dev prologue in _jitted, shared by
+        the segmented single and batched paths.  ``c`` is the column-chunk
+        divisor (0 = unchunked)."""
+        def funcs(d1, d0, ct, alpha, pnt, shift, rdt, diel, dft):
+            d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
+            b_diag64, b_sd64 = rs.penalty_p(d_a64, pnt)
+            inv_diag64, inv_sd64 = rs.inverse_penalized_p(d_a64, pnt, shift)
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(rdt), t)
+            d_ap, b_diag, b_sd = cast(d_a64), cast(b_diag64), cast(b_sd64)
+            inv_diag, inv_sd = cast(inv_diag64), cast(inv_sd64)
+            sh = shift.astype(rdt)
+            wf = (dft.fwd.real, dft.fwd.imag)
+            wi = (dft.inv.real, dft.inv.imag)
+
+            def h_one(v):
+                return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
+                                   shift=sh)
+
+            if c and m > c:
+                def h_func(v):
+                    vc = tuple(a.reshape((m // c, c) + a.shape[1:])
+                               for a in v)
+                    out = jax.lax.map(h_one, vc)
+                    return tuple(a.reshape((m,) + a.shape[2:]) for a in out)
+            else:
+                h_func = h_one
+
+            def p_func(v):
+                return rs.h_block_p(v, inv_diag, inv_sd)
+
+            return h_func, p_func
+
+        return funcs
+
     @lru_cache(maxsize=8)
     def _jitted_seg(self, m: int):
         """Segmented (trampolined) rs solve: three jitted programs — init,
@@ -333,38 +370,7 @@ class KPointSolver:
         chunk = self.apply_chunk
         c = max((d for d in range(1, min(chunk, m) + 1) if m % d == 0),
                 default=0) if chunk else 0
-
-        def funcs(d1, d0, ct, alpha, pnt, shift, rdt, diel, dft):
-            """h/p callables from device-built symbols (exactly the
-            run_core_rs_dev prologue in _jitted)."""
-            d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
-            b_diag64, b_sd64 = rs.penalty_p(d_a64, pnt)
-            inv_diag64, inv_sd64 = rs.inverse_penalized_p(d_a64, pnt, shift)
-            cast = lambda t: jax.tree_util.tree_map(
-                lambda a: a.astype(rdt), t)
-            d_ap, b_diag, b_sd = cast(d_a64), cast(b_diag64), cast(b_sd64)
-            inv_diag, inv_sd = cast(inv_diag64), cast(inv_sd64)
-            sh = shift.astype(rdt)
-            wf = (dft.fwd.real, dft.fwd.imag)
-            wi = (dft.inv.real, dft.inv.imag)
-
-            def h_one(v):
-                return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
-                                   shift=sh)
-
-            if c and m > c:
-                def h_func(v):
-                    vc = tuple(a.reshape((m // c, c) + a.shape[1:])
-                               for a in v)
-                    out = jax.lax.map(h_one, vc)
-                    return tuple(a.reshape((m,) + a.shape[2:]) for a in out)
-            else:
-                h_func = h_one
-
-            def p_func(v):
-                return rs.h_block_p(v, inv_diag, inv_sd)
-
-            return h_func, p_func
+        funcs = self._rs_hp_builder(m, c)
 
         def parts_for(h_func, p_func, rdt):
             return lob_rs.rs_solver_parts(
@@ -687,6 +693,66 @@ class KPointSolver:
         return jax.jit(jax.vmap(
             fn, in_axes=(None, None, None, 0, 0, 0, 0, None, None)))
 
+    @lru_cache(maxsize=4)
+    def _jitted_batch_seg(self, m: int, bsize: int):
+        """Segmented vmapped batch solve (the batch analog of _jitted_seg):
+        each device program advances every lane by at most ``segment_iters``
+        iterations of the lockstep batched while_loop, so the k-batch
+        throughput path also stays under the tunnel's program-runtime kill
+        window.  Finished lanes are frozen by the batched while_loop's
+        select; the host re-enters until every lane terminates."""
+        assert self.impl == "rs" and self.dev_sym
+        nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
+                                      self.locking)
+        n = self.cfg.n
+        rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
+                        "maxstagniter", "use_p", "rr_gram")
+        rs_opts = {k: v for k, v in self.solver_opts.items()
+                   if k in rs_supported}
+        funcs = self._rs_hp_builder(m, 0)
+
+        def parts_for(h_func, p_func, rdt):
+            return lob_rs.rs_solver_parts(
+                h_func, p_func, (m, 3, n, n, n), rdt, nev, tol=tol,
+                maxiter=maxiter, locking=locking, **rs_opts)
+
+        def init_one(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
+            rdt = x0.real.dtype
+            h_func, p_func = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
+                                   diel, dft)
+            init, _, _ = parts_for(h_func, p_func, rdt)
+            return init((x0.real, x0.imag))
+
+        def run_one(d1, d0, ct, alpha, pnt, shift, state, diel, dft,
+                    it_stop):
+            rdt = state["x"][0].dtype
+            h_func, p_func = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
+                                   diel, dft)
+            _, run_to, _ = parts_for(h_func, p_func, rdt)
+            return run_to(state, it_stop)
+
+        def fin_one(state):
+            rdt = state["x"][0].dtype
+            xc = jax.lax.complex(state["x"][0], state["x"][1])
+            xc = xc.reshape((m, 3, n, n, n)).astype(self.dtype)
+            status = jnp.where(state["status"] == lob.Status.RUNNING,
+                               lob.Status.MAXITER,
+                               state["status"]).astype(jnp.int32)
+            return lob.SolveResult(
+                lambdas=state["lambdas"].astype(rdt), x=xc,
+                iterations=state["it"], status=status,
+                res_history=state["res_his"])
+
+        wrap = boundary.real_boundary if self.rb else (lambda f: f)
+        binit = jax.jit(jax.vmap(
+            wrap(init_one), in_axes=(None, None, None, 0, 0, 0, 0, None,
+                                     None)))
+        brun = jax.jit(jax.vmap(
+            wrap(run_one), in_axes=(None, None, None, 0, 0, 0, 0, None,
+                                    None, None)), donate_argnums=(6,))
+        bfin = jax.jit(jax.vmap(wrap(fin_one)))
+        return binit, brun, bfin
+
     def solve_batch(self, alphas, x0s=None, seed: int = 0,
                     validate_result: bool = True):
         """Solve a batch of k-points in one vmapped program.  All k-points
@@ -730,15 +796,36 @@ class KPointSolver:
         t0 = time.time()
         if self.dev_sym:
             f = self._f64
-            run = self._jitted_batch_rs(m, bsize)
-            res = run(f["d1"], f["d0"], f["ct"],
-                      jnp.asarray(np.stack([np.asarray(a, np.float64)
-                                            for a in alphas])),
-                      jnp.asarray(np.asarray([sp[1] for sp in shifts_pnts],
-                                             np.float64)),
-                      jnp.asarray(np.asarray([sp[0] for sp in shifts_pnts],
-                                             np.float64)),
-                      x0s, self.diel, self.dft)
+            sym_args = (f["d1"], f["d0"], f["ct"],
+                        jnp.asarray(np.stack([np.asarray(a, np.float64)
+                                              for a in alphas])),
+                        jnp.asarray(np.asarray(
+                            [sp[1] for sp in shifts_pnts], np.float64)),
+                        jnp.asarray(np.asarray(
+                            [sp[0] for sp in shifts_pnts], np.float64)))
+            seg = self.segment_iters
+            if seg > 0:
+                binit, brun, bfin = self._jitted_batch_seg(m, bsize)
+                state = binit(*sym_args, x0s, self.diel, self.dft)
+                it = 0
+                for _ in range(-(-self.maxiter // seg) + 2):
+                    stop = jnp.asarray(min(it + seg, self.maxiter),
+                                       jnp.int32)
+                    state = brun(*sym_args, state, self.diel, self.dft,
+                                 stop)
+                    sts = np.asarray(state["status"])
+                    its = np.asarray(state["it"])
+                    running = ((sts == lob.Status.RUNNING)
+                               & (its < self.maxiter))
+                    if not np.any(running):
+                        break
+                    # next bound from the laggard RUNNING lane (terminated
+                    # lanes are frozen and must not cap the stop)
+                    it = int(its[running].min())
+                res = bfin(state)
+            else:
+                run = self._jitted_batch_rs(m, bsize)
+                res = run(*sym_args, x0s, self.diel, self.dft)
         else:
             run = self._jitted_batch(m, bsize)
             res = run(d_a, b, inv, shifts, x0s, self.diel, self.dft)

@@ -190,3 +190,22 @@ def test_solve_batch_rs_matches_serial():
         assert rb_res.status in (1, 5)
         np.testing.assert_allclose(rb_res.omega_re, r_ser.omega_re,
                                    atol=2e-5)
+
+
+def test_solve_batch_segmented_matches_oneshot():
+    """Segmented vmapped batch (the TPU k-batch driver under the tunnel's
+    program-runtime limit) reproduces the one-shot batch exactly."""
+    import jax.numpy as jnp
+    from pcx.config import ProblemConfig
+    cfg = ProblemConfig(n=8, lattice="sc_flat1", nev=4)
+    kw = dict(dtype=jnp.complex128, solver_impl="rs", real_boundary=True,
+              refine=False)
+    alphas = [np.array([np.pi, 0, 0]), np.array([np.pi / 8, 0, 0])]
+    one = bs.KPointSolver(cfg, segment_iters=0, **kw)
+    seg = bs.KPointSolver(cfg, segment_iters=6, **kw)
+    r_one = one.solve_batch(alphas, seed=7)
+    r_seg = seg.solve_batch(alphas, seed=7)
+    for a, b in zip(r_one, r_seg):
+        assert a.status == b.status
+        assert a.iterations == b.iterations
+        np.testing.assert_allclose(b.omega_re, a.omega_re, atol=1e-8)
