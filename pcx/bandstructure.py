@@ -47,6 +47,26 @@ class EigenResult:
     report: Optional[validate.ValidationReport]
 
 
+def _make_rp_fused(m, rdt, inv_diag, inv_sd):
+    """Fused residual/column-norms/preconditioner callable for the rs
+    solver (solver_opts {"rp_fuse": "pallas"}): one Pallas HBM pass per
+    iteration instead of ~4 XLA passes over the block (VERDICT round-1
+    item 4).  inv_diag/inv_sd are the (3, ...) preconditioner symbol
+    blocks in the iterate's real dtype."""
+    from pcx.operators import pallas_kernels as pk
+    idg = inv_diag.reshape(3, -1)
+    isd = (inv_sd[0].reshape(3, -1), inv_sd[1].reshape(3, -1))
+
+    def rp(xf, hxf, lam):
+        x3 = tuple(a.reshape(m, 3, -1) for a in xf)
+        hx3 = tuple(a.reshape(m, 3, -1) for a in hxf)
+        (wr, wi), ss = pk.resid_precond_auto(x3, hx3, lam, idg, isd)
+        return ((wr.reshape(m, -1).astype(rdt),
+                 wi.reshape(m, -1).astype(rdt)), ss)
+
+    return rp
+
+
 class KPointSolver:
     """Reusable jitted solver for one (config, dielectric) across k-points."""
 
@@ -246,17 +266,20 @@ class KPointSolver:
 
             rs_supported = ("ortho_passes", "refresh_every",
                             "floor_patience", "maxstagniter", "use_p",
-                            "rr_gram")
+                            "rr_gram", "rp_fuse")
             dropped = sorted(set(opts) - set(rs_supported))
             if dropped:
                 raise ValueError(
                     f"solver_opts {dropped} are not supported by the "
                     f"pair-layout solver (solver_impl='rs'); pass "
                     f"solver_impl='complex' to use them")
-            rs_opts = {k: v for k, v in opts.items() if k in rs_supported}
+            rs_opts = {k: v for k, v in opts.items()
+                       if k in rs_supported and k != "rp_fuse"}
+            rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd)
+                  if opts.get("rp_fuse", "xla") == "pallas" else None)
             res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
                                        maxiter=maxiter, locking=locking,
-                                       **rs_opts)
+                                       rp_fused=rp, **rs_opts)
             return res._replace(x=jax.lax.complex(*res.x).astype(x0.dtype),
                                 lambdas=res.lambdas.astype(rdt))
 
@@ -305,10 +328,13 @@ class KPointSolver:
         return run, stats
 
     def _rs_hp_builder(self, m: int, c: int):
-        """Traced builder of the rs (h_func, p_func) pair from device-built
-        symbols — exactly the run_core_rs_dev prologue in _jitted, shared by
-        the segmented single and batched paths.  ``c`` is the column-chunk
-        divisor (0 = unchunked)."""
+        """Traced builder of the rs (h_func, p_func, rp_fused) triple from
+        device-built symbols — exactly the run_core_rs_dev prologue in
+        _jitted, shared by the segmented single and batched paths.  ``c``
+        is the column-chunk divisor (0 = unchunked); rp_fused is None
+        unless solver_opts["rp_fuse"] == "pallas"."""
+        rp_mode = self.solver_opts.get("rp_fuse", "xla")
+
         def funcs(d1, d0, ct, alpha, pnt, shift, rdt, diel, dft):
             d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
             b_diag64, b_sd64 = rs.penalty_p(d_a64, pnt)
@@ -337,7 +363,9 @@ class KPointSolver:
             def p_func(v):
                 return rs.h_block_p(v, inv_diag, inv_sd)
 
-            return h_func, p_func
+            rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd)
+                  if rp_mode == "pallas" else None)
+            return h_func, p_func, rp
 
         return funcs
 
@@ -358,38 +386,39 @@ class KPointSolver:
         n = self.cfg.n
         opts = self.solver_opts
         rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
-                        "maxstagniter", "use_p", "rr_gram")
+                        "maxstagniter", "use_p", "rr_gram", "rp_fuse")
         dropped = sorted(set(opts) - set(rs_supported))
         if dropped:
             raise ValueError(
                 f"solver_opts {dropped} are not supported by the "
                 f"pair-layout solver (solver_impl='rs'); pass "
                 f"solver_impl='complex' to use them")
-        rs_opts = {k: v for k, v in opts.items() if k in rs_supported}
+        rs_opts = {k: v for k, v in opts.items()
+                   if k in rs_supported and k != "rp_fuse"}
 
         chunk = self.apply_chunk
         c = max((d for d in range(1, min(chunk, m) + 1) if m % d == 0),
                 default=0) if chunk else 0
         funcs = self._rs_hp_builder(m, c)
 
-        def parts_for(h_func, p_func, rdt):
+        def parts_for(h_func, p_func, rdt, rp):
             return lob_rs.rs_solver_parts(
                 h_func, p_func, (m, 3, n, n, n), rdt, nev, tol=tol,
-                maxiter=maxiter, locking=locking, **rs_opts)
+                maxiter=maxiter, locking=locking, rp_fused=rp, **rs_opts)
 
         def init_core(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
             rdt = x0.real.dtype
-            h_func, p_func = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
-                                   diel, dft)
-            init, _, _ = parts_for(h_func, p_func, rdt)
+            h_func, p_func, rp = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
+                                       diel, dft)
+            init, _, _ = parts_for(h_func, p_func, rdt, rp)
             return init((x0.real, x0.imag))
 
         def run_core(d1, d0, ct, alpha, pnt, shift, state, diel, dft,
                      it_stop):
             rdt = state["x"][0].dtype
-            h_func, p_func = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
-                                   diel, dft)
-            _, run_to, _ = parts_for(h_func, p_func, rdt)
+            h_func, p_func, rp = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
+                                       diel, dft)
+            _, run_to, _ = parts_for(h_func, p_func, rdt, rp)
             return run_to(state, it_stop)
 
         def fin_core(state):
@@ -711,24 +740,24 @@ class KPointSolver:
                    if k in rs_supported}
         funcs = self._rs_hp_builder(m, 0)
 
-        def parts_for(h_func, p_func, rdt):
+        def parts_for(h_func, p_func, rdt, rp):
             return lob_rs.rs_solver_parts(
                 h_func, p_func, (m, 3, n, n, n), rdt, nev, tol=tol,
-                maxiter=maxiter, locking=locking, **rs_opts)
+                maxiter=maxiter, locking=locking, rp_fused=rp, **rs_opts)
 
         def init_one(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
             rdt = x0.real.dtype
-            h_func, p_func = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
-                                   diel, dft)
-            init, _, _ = parts_for(h_func, p_func, rdt)
+            h_func, p_func, rp = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
+                                       diel, dft)
+            init, _, _ = parts_for(h_func, p_func, rdt, rp)
             return init((x0.real, x0.imag))
 
         def run_one(d1, d0, ct, alpha, pnt, shift, state, diel, dft,
                     it_stop):
             rdt = state["x"][0].dtype
-            h_func, p_func = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
-                                   diel, dft)
-            _, run_to, _ = parts_for(h_func, p_func, rdt)
+            h_func, p_func, rp = funcs(d1, d0, ct, alpha, pnt, shift, rdt,
+                                       diel, dft)
+            _, run_to, _ = parts_for(h_func, p_func, rdt, rp)
             return run_to(state, it_stop)
 
         def fin_one(state):

@@ -120,3 +120,117 @@ def gram9_pairs_auto(x, w, p, hx, hw, hp, chunk: int = 2048):
     interpret = jax.default_backend() == "cpu"
     return fused_gram9_pairs(x, w, p, hx, hw, hp, chunk=chunk,
                              interpret=interpret)
+
+
+# -- fused residual + preconditioner + column sum-squares ---------------------
+
+def _resid_precond_kernel(*refs):
+    """Grid: (num_chunks,).  One HBM pass computing, per spatial chunk:
+    the residual pair r = lam*x - hx, its per-column sum-of-squares
+    (f64-accumulated), and the preconditioned block w = Hinv r (Hermitian
+    3x3 symbol multiply).  Unfused XLA needs ~4 passes over the block
+    (r materialize, colnorms read, precond read, w write); this reads x/hx
+    once and writes w once."""
+    (xr, xi, hxr, hxi, lam, idiag, isdr, isdi,
+     wr, wi, ss) = refs
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        ss[:, :] = jnp.zeros_like(ss)
+
+    lam_c = lam[:, 0:1]                      # (m, 1) broadcast column
+    m, chunk = xr.shape[0], xr.shape[2]
+    r_re, r_im = [], []
+    acc = jnp.zeros((m, chunk), jnp.float32)
+    for k in range(3):
+        rr_ = lam_c * xr[:, k, :] - hxr[:, k, :]
+        ri_ = lam_c * xi[:, k, :] - hxi[:, k, :]
+        r_re.append(rr_)
+        r_im.append(ri_)
+        acc = acc + (rr_ * rr_ + ri_ * ri_)
+    # fold the chunk into 128 lanes; the caller sums the lanes.  f32
+    # accumulation matches the incumbent colnorms_p semantics (and Mosaic
+    # f64 vector support is not guaranteed on all TPU generations).
+    ss[:, :] += acc.reshape(m, chunk // 128, 128).sum(axis=1)
+
+    # Hermitian 3x3 block multiply with the inverse-penalty symbol:
+    # diag REAL (3, C), sdiag = (s12, s13, s23) pair (3, C); row pattern
+    #   y0 = d0 r0 + s12 r1 + s13 r2
+    #   y1 = conj(s12) r0 + d1 r1 + s23 r2
+    #   y2 = conj(s13) r0 + conj(s23) r1 + d2 r2   (operators/rs.h_block_p)
+    d = [idiag[k, :] for k in range(3)]
+    sr = [isdr[k, :] for k in range(3)]
+    si = [isdi[k, :] for k in range(3)]
+
+    def cmul(ar, ai, br, bi):
+        return ar * br - ai * bi, ar * bi + ai * br
+
+    rows = ((0, (None, 0, 1), (False, False, False)),
+            (1, (0, None, 2), (True, False, False)),
+            (2, (1, 2, None), (True, True, False)))
+    for row, ss_idx, conj_f in rows:
+        yr = d[row] * r_re[row]
+        yi = d[row] * r_im[row]
+        for col in range(3):
+            j = ss_idx[col]
+            if j is None:
+                continue
+            sgn = -1.0 if conj_f[col] else 1.0
+            pr_, pi_ = cmul(sr[j], sgn * si[j], r_re[col], r_im[col])
+            yr = yr + pr_
+            yi = yi + pi_
+        wr[:, row, :] = yr
+        wi[:, row, :] = yi
+
+
+def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
+                        interpret: bool = False):
+    """(w_raw, res_sumsq) from pair blocks x, hx of shape (m, 3, D) f32,
+    Ritz values lam (m,), and the preconditioner symbol (diag REAL (3, D),
+    sdiag pair (3, D)).  w_raw = Hinv (lam x - hx) UNMASKED (the
+    per-column locking mask commutes with the column-local precondition);
+    res_sumsq is the per-column ||r||^2 (f32, as colnorms_p)."""
+    m, three, d = x[0].shape
+    assert three == 3
+    assert chunk % 128 == 0
+    nc = -(-d // chunk)
+    pad = nc * chunk - d
+
+    def prep(a, f32=True):
+        a = a.astype(jnp.float32) if f32 else a
+        if pad:
+            width = ((0, 0),) * (a.ndim - 1) + ((0, pad),)
+            a = jnp.pad(a, width)
+        return a
+
+    planes = [prep(a) for a in (x[0], x[1], hx[0], hx[1])]
+    lam128 = jnp.broadcast_to(lam.astype(jnp.float32)[:, None], (m, 128))
+    syms = [prep(a) for a in (inv_diag.astype(jnp.float32),
+                              inv_sd[0].astype(jnp.float32),
+                              inv_sd[1].astype(jnp.float32))]
+
+    blk = pl.BlockSpec((m, 3, chunk), lambda c: (0, 0, c))
+    sblk = pl.BlockSpec((3, chunk), lambda c: (0, c))
+    lamblk = pl.BlockSpec((m, 128), lambda c: (0, 0))
+    ssblk = pl.BlockSpec((m, 128), lambda c: (0, 0))
+    wr, wi, ss = pl.pallas_call(
+        _resid_precond_kernel,
+        grid=(nc,),
+        in_specs=[blk, blk, blk, blk, lamblk, sblk, sblk, sblk],
+        out_specs=(blk, blk, ssblk),
+        out_shape=(jax.ShapeDtypeStruct((m, 3, nc * chunk), jnp.float32),
+                   jax.ShapeDtypeStruct((m, 3, nc * chunk), jnp.float32),
+                   jax.ShapeDtypeStruct((m, 128), jnp.float32)),
+        interpret=interpret,
+    )(*planes, lam128, *syms)
+    if pad:
+        wr, wi = wr[:, :, :d], wi[:, :, :d]
+    return (wr, wi), jnp.sum(ss, axis=1)
+
+
+def resid_precond_auto(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048):
+    """fused_resid_precond with interpret mode auto-selected."""
+    interpret = jax.default_backend() == "cpu"
+    return fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk=chunk,
+                               interpret=interpret)

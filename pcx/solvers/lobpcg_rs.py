@@ -55,6 +55,7 @@ def rs_solver_parts(
     reduce_axis=None,
     use_p: bool = True,
     rr_gram: str = "xla",
+    rp_fused=None,
 ):
     """Factory for the pair-layout LOBPCG as three composable traced parts:
 
@@ -79,6 +80,8 @@ def rs_solver_parts(
         raise ValueError(f"unknown rr_gram {rr_gram!r}")
     if rr_gram == "pallas" and reduce_axis is not None:
         raise ValueError("rr_gram='pallas' does not psum over a mesh axis")
+    if rp_fused is not None and reduce_axis is not None:
+        raise ValueError("rp_fused does not psum over a mesh axis")
     m = shape[0]
     rdtype = jnp.dtype(rdtype)
     tiny = float(jnp.finfo(rdtype).tiny ** 0.5)
@@ -144,10 +147,16 @@ def rs_solver_parts(
                           lambda: flat(h_func(unflat(s["p"]))),
                           lambda: s["hp"])
 
-        lam_col = s["lambdas"][:, None]
-        r = (lam_col * s["x"][0] - hx_cur[0],
-             lam_col * s["x"][1] - hx_cur[1])
-        res = rr.colnorms_p(r, axis_name=reduce_axis)
+        if rp_fused is None:
+            lam_col = s["lambdas"][:, None]
+            r = (lam_col * s["x"][0] - hx_cur[0],
+                 lam_col * s["x"][1] - hx_cur[1])
+            res = rr.colnorms_p(r, axis_name=reduce_axis)
+        else:
+            # one fused HBM pass: residual, its column norms, and the
+            # (column-local, hence mask-commuting) preconditioner apply
+            w_raw, sumsq = rp_fused(s["x"], hx_cur, s["lambdas"])
+            res = jnp.sqrt(sumsq).astype(rdtype)
         res_max = jnp.max(res[:nev])
         res_nev = jnp.linalg.norm(res[:nev])
         res_his = s["res_his"].at[it].set(res_nev)
@@ -193,8 +202,11 @@ def rs_solver_parts(
             acol = active[:, None]
             xf, hxf = s["x"], s["hx"]
 
-            w = p_func(unflat((acol * r[0], acol * r[1])))
-            wf = flat(w)
+            if rp_fused is None:
+                w = p_func(unflat((acol * r[0], acol * r[1])))
+                wf = flat(w)
+            else:
+                wf = w_raw
             wf = (acol * wf[0], acol * wf[1])
             wn = rr.colnorms_p(wf, axis_name=reduce_axis)
             wf = rr.scale_cols_p(wf, 1.0 / jnp.maximum(wn, tiny))
@@ -311,12 +323,19 @@ def lobpcg_sep_rs(
     reduce_axis=None,
     use_p: bool = True,
     rr_gram: str = "xla",
+    rp_fused=None,
 ) -> SolveResult:
     """LOBPCG on pair blocks; returns SolveResult with ``x`` as a pair.
 
     Single-program composition of :func:`rs_solver_parts` (init -> full
     while_loop -> finalize): the exact trace previous rounds shipped, for
     CPU tests and backends with no program-runtime limit.
+
+    ``rp_fused``: optional ``(x_flat_pair, hx_flat_pair, lam) ->
+    (w_raw_flat_pair, res_sumsq)`` replacing the residual / column-norm /
+    preconditioner chain with one fused HBM pass (see
+    pcx.operators.pallas_kernels.fused_resid_precond); when set, ``p_func``
+    is not called in the iteration.
 
     ``rr_gram``: "xla" computes the stacked 3m-wide Rayleigh-Ritz Gram via
     dot_general (chunked f64 accumulation); "pallas" streams the six basis
@@ -329,5 +348,6 @@ def lobpcg_sep_rs(
         shift=shift, tol=tol, maxiter=maxiter, locking=locking,
         maxstagniter=maxstagniter, ortho_passes=ortho_passes,
         refresh_every=refresh_every, floor_patience=floor_patience,
-        reduce_axis=reduce_axis, use_p=use_p, rr_gram=rr_gram)
+        reduce_axis=reduce_axis, use_p=use_p, rr_gram=rr_gram,
+        rp_fused=rp_fused)
     return finalize(run_to(init(x0), maxiter))

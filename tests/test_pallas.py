@@ -57,3 +57,66 @@ def test_rr_gram_pallas_solver_end_to_end():
                        **kw).solve(alpha, seed=3)
     assert r_p.status in (1, 5)
     np.testing.assert_allclose(r_p.omega_re, r_x.omega_re, atol=5e-9)
+
+
+def test_fused_resid_precond_matches_unfused(rng):
+    """fused_resid_precond (one-HBM-pass residual + colnorms + Hermitian
+    preconditioner) must reproduce the unfused chain lam*x-hx ->
+    colnorms_p -> rs.h_block_p in interpret mode."""
+    from pcx.operators.pallas_kernels import fused_resid_precond
+    from pcx.operators import rs
+    from pcx.solvers import rayleigh_ritz as rr
+
+    m, n = 5, 6
+    d = n ** 3
+    shp = (m, 3, n, n, n)
+    mk = lambda: jnp.asarray(rng.normal(size=shp), jnp.float32)
+    x = (mk(), mk())
+    hx = (mk(), mk())
+    lam = jnp.asarray(rng.normal(size=(m,)), jnp.float32)
+
+    sd = lambda: jnp.asarray(rng.normal(size=(3, n, n, n)), jnp.float32)
+    inv_diag = sd()
+    inv_sd = (sd(), sd())
+
+    lam_col = lam.reshape(m, 1, 1, 1, 1)
+    r = (lam_col * x[0] - hx[0], lam_col * x[1] - hx[1])
+    res_want = rr.colnorms_p((r[0].reshape(m, -1), r[1].reshape(m, -1)))
+    w_want = rs.h_block_p(r, inv_diag, inv_sd)
+
+    flat3 = lambda a: a.reshape(m, 3, d)
+    (wr, wi), ss = fused_resid_precond(
+        (flat3(x[0]), flat3(x[1])), (flat3(hx[0]), flat3(hx[1])), lam,
+        inv_diag.reshape(3, d), (inv_sd[0].reshape(3, d),
+                                 inv_sd[1].reshape(3, d)),
+        chunk=128, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(jnp.sqrt(ss)),
+                               np.asarray(res_want), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(wr), np.asarray(
+        w_want[0].reshape(m, 3, d)), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wi), np.asarray(
+        w_want[1].reshape(m, 3, d)), rtol=2e-5, atol=1e-5)
+
+
+def test_rp_fuse_pallas_solve_matches_default():
+    """KPointSolver with solver_opts={'rp_fuse': 'pallas'} (fused
+    residual+precond Pallas pass, interpret mode on CPU) reproduces the
+    default rs solve's frequencies."""
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+
+    cfg = ProblemConfig(n=8, lattice="sc_curv", nev=4)
+    kw = dict(dtype=jnp.complex64, solver_impl="rs", real_boundary=True,
+              refine=False, tol=1e-5, maxiter=300)
+    alpha = np.array([np.pi, 0.0, 0.0])
+    r0 = KPointSolver(cfg, **kw).solve(alpha, seed=4)
+    r1 = KPointSolver(cfg, solver_opts={"rp_fuse": "pallas"},
+                      **kw).solve(alpha, seed=4)
+    assert r1.status in (1, 5)
+    np.testing.assert_allclose(r1.omega_re, r0.omega_re, atol=5e-5)
+
+    # segmented driver composes with the fused kernel
+    r2 = KPointSolver(cfg, solver_opts={"rp_fuse": "pallas"},
+                      segment_iters=6, **kw).solve(alpha, seed=4)
+    np.testing.assert_allclose(r2.omega_re, r0.omega_re, atol=5e-5)
