@@ -85,6 +85,14 @@ def main():
     if not args.inner and not args.cpu:
         sys.exit(_run_wrapped())
 
+    # Primary metric (round 2+): the warm-started sweep mean — the
+    # reference's flagship workload is the 100+ k-point band sweep, so a
+    # single repeated k-point under-represents it.  Explicit --sweep 0
+    # still selects the single-point protocol; the CPU fallback keeps the
+    # cheap single-point record.
+    if args.sweep == 0 and not args.cpu and "--sweep" not in sys.argv:
+        args.sweep = 20
+
     fallback = args.fallback_tag
     if fallback:
         # Wedged/unavailable accelerator: CPU record at a smaller N so the

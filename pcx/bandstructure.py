@@ -1074,8 +1074,17 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                 results = [solver.solve(alphas[i], x0=x0, seed=seed + i,
                                         verbose=False)]
             for i, result in zip(grp, results):
-                if result.status not in (lob.Status.CONVERGED,
-                                         lob.Status.FLOOR):
+                ok = result.status in (lob.Status.CONVERGED,
+                                       lob.Status.FLOOR)
+                # Backstop: a MAXITER solve whose recomputed f64 residuals
+                # and spurious gate pass is physically valid — the c64
+                # floor was reached without the FLOOR heuristic firing
+                # (possible on warm starts; see lobpcg_rs gate notes).
+                if (not ok and result.status == lob.Status.MAXITER
+                        and result.report is not None
+                        and not result.report.spurious):
+                    ok = True
+                if not ok:
                     raise RuntimeError(
                         f"solver status {lob.Status(result.status).name}")
                 if result.report is not None and result.report.spurious:

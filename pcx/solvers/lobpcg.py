@@ -208,15 +208,19 @@ def lobpcg_sep(
         # misclassified as a floor.
         floor_gate = (10.0 * noise_floor / 30.0
                       * jnp.maximum(jnp.max(jnp.abs(s.lambdas)), 1.0))
+        # No `res_max < first_rec` term: warm starts begin AT the floor,
+        # so improvement-over-start can never hold (see lobpcg_rs.py).
         floored = ((floor_patience > 0) & (it - best_it > floor_patience)
-                   & (it > 3) & (res_max < first_rec)
-                   & (res_max < floor_gate))
+                   & (it > 3) & (res_max < floor_gate))
 
         is_nan = jnp.isnan(res).any()
         converged = res_max < tol
-        # Stagnation / blow-up guard (reference: lobpcg.py:408-415).
+        # Stagnation / blow-up guard (reference: lobpcg.py:408-415),
+        # referenced to max(start level, 10x attainable floor) so a warm
+        # start hovering at the floor is not misread as divergence.
+        stagn_ref = jnp.maximum(first_rec, 10.0 * floor_gate)
         stagn = (
-            ((it > maxstagniter) & ((res[0] > 1000.0) | (res[0] > first_rec)))
+            ((it > maxstagniter) & ((res[0] > 1000.0) | (res[0] > stagn_ref)))
             | ((it > 2 * maxstagniter) & (res[0] > 50.0))
         )
         recovering = res_nev < res_his[maxstagniter // 2] * 0.1
