@@ -212,6 +212,10 @@ def lobpcg_sep(
         # so improvement-over-start can never hold (see lobpcg_rs.py).
         floored = ((floor_patience > 0) & (it - best_it > floor_patience)
                    & (it > 3) & (res_max < floor_gate))
+        # Hard-patience floor (see lobpcg_rs.py): 4x window, no absolute
+        # gate — downstream f64 validation decides acceptance.
+        floored = floored | ((floor_patience > 0) & (it > 3)
+                             & (it - best_it > 4 * floor_patience + 4))
 
         is_nan = jnp.isnan(res).any()
         converged = res_max < tol

@@ -179,6 +179,16 @@ def rs_solver_parts(
         # starts have res >> floor_gate for the first few dozen iters.
         floored = ((floor_patience > 0) & (it - best_it > floor_patience)
                    & (it > 3) & (res_max < floor_gate))
+        # Hard-patience floor: 4x the window with NO absolute gate.  If no
+        # 5% best-residual improvement happened for ~40 iterations the
+        # iterate is at its attainable accuracy regardless of where the
+        # scale estimate says the floor should be (warm starts on the R-M
+        # leg measured 500-iter burns with the absolute gate alone).  Every
+        # FLOOR result still passes the f64 recompute + spurious gate
+        # before being recorded, so a premature exit cannot corrupt a
+        # library — it is retried as a failure instead.
+        floored = floored | ((floor_patience > 0) & (it > 3)
+                             & (it - best_it > 4 * floor_patience + 4))
 
         is_nan = jnp.isnan(res).any()
         converged = res_max < tol
