@@ -81,7 +81,15 @@ def recompute(lambdas_in, x=None, a_apply=None, shift: float = 0.0,
     # Absolute deviation (the reference checks the SIGNED difference,
     # numerical_experiments.py:152, which misses modes where the recomputed
     # frequency exceeds the penalized one — observed in single precision).
-    spurious = bool(np.any(np.abs(omega_pnt - omega_re) > spurious_tol))
+    # Non-finite frequencies are spurious by definition: NaN compares
+    # False against any tolerance, so without this a fully-NaN solve
+    # (degenerate basis after long floor-wobble) would PASS the gate and
+    # be recorded into a library (observed: seven 500-iteration MAXITER
+    # points wrote NaN rows).  sqrt_robust clamps the legitimate tiny
+    # negatives at Gamma to 0, so finite inputs stay finite here.
+    spurious = bool(np.any(np.abs(omega_pnt - omega_re) > spurious_tol)
+                    | np.any(~np.isfinite(omega_pnt))
+                    | np.any(~np.isfinite(omega_re)))
     report = ValidationReport(omega_pnt, omega_re, res, spurious)
     if verbose:
         print(report.table())
