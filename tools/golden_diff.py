@@ -89,6 +89,11 @@ def main():
     both = computed & ref_ok
     nev = min(freq.shape[1], rfreq.shape[1])
     d = np.abs(freq[both][:, :nev] - rfreq[both][:, :nev])
+    # The reference library itself holds NaN entries at Gamma (sqrt of a
+    # tiny negative zero-mode, e.g. sc_curv_120 k=79 band=2); pcx clamps
+    # those to 0 (utils.sqrt_robust).  Exclude non-finite REFERENCE
+    # entries from the deviation stats — pcx-side NaN stays fatal.
+    d = np.where(np.isfinite(rfreq[both][:, :nev]), d, 0.0)
 
     print(f"pcx lib:   {args.lib}")
     print(f"reference: {ref_path} [{rkey}]")
