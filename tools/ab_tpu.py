@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""A/B microbench of the Pallas hot-path kernels on the real TPU
+(VERDICT round-1 item 4: measure the fused kernels' effect on ms/iter,
+or commit a negative result with numbers).
+
+Variants, all SC-CURV chiral N=<n> single k-point, same seeds:
+  base        — production defaults (XLA-fused jnp)
+  gram_pallas — solver_opts {"rr_gram": "pallas"} (fused 9-Gram streaming)
+  rp_pallas   — solver_opts {"rp_fuse": "pallas"} (fused residual+precond)
+  both        — both kernels on
+
+Each variant: 1 warmup solve + --reps timed solves; reports min wall,
+iterations, ms/iter, and max |omega - omega_base| as a correctness check.
+Appends JSONL to --out (resumable).  ONE process (tunnel warmup).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+except Exception:
+    pass
+
+import jax.numpy as jnp
+
+ALPHA = np.array([np.pi, 0.0, 0.0])
+
+VARIANTS = [
+    ("base", {}),
+    ("gram_pallas", {"rr_gram": "pallas"}),
+    ("rp_pallas", {"rp_fuse": "pallas"}),
+    ("both", {"rr_gram": "pallas", "rp_fuse": "pallas"}),
+]
+
+
+def run_variant(name, opts, n, reps, maxiter):
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+    from pcx.solvers.lobpcg import Status
+
+    cfg = ProblemConfig(n=n, lattice="sc_curv", diel_type="chiral", nev=10)
+    solver = KPointSolver(cfg, dtype=jnp.complex64, maxiter=maxiter,
+                          solver_opts=dict(opts))
+    r = solver.solve(ALPHA, seed=0, validate_result=False)
+    print(f"#   [{name}] warmup: {Status(r.status).name} "
+          f"iters={r.iterations} t={r.wall_time:.2f}s", flush=True)
+    times, iters = [], []
+    for i in range(reps):
+        r = solver.solve(ALPHA, seed=i + 1, validate_result=False)
+        if r.status not in (Status.CONVERGED, Status.FLOOR):
+            raise RuntimeError(f"status {Status(r.status).name}")
+        times.append(r.wall_time)
+        iters.append(int(r.iterations))
+        print(f"#   [{name}] rep {i}: {r.wall_time:.3f}s "
+              f"iters={r.iterations}", flush=True)
+    rep = solver.validate_solution(ALPHA, r)
+    best = int(np.argmin(times))
+    return {"variant": name, "n": n, "seconds": round(float(min(times)), 3),
+            "iters": iters[best],
+            "ms_per_iter": round(1e3 * times[best] / max(iters[best], 1), 1),
+            "validation": float(f"{np.abs(rep.omega_pnt - rep.omega_re).max():.3e}"),
+            "omega": [float(w) for w in rep.omega_pnt]}
+
+
+def run_kbatch(n, batch, maxiter):
+    """k-batch throughput: `batch` distinct path points in one vmapped
+    program vs the serial baseline — the evidence VERDICT round-1
+    'weak #6' asked for."""
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+
+    cfg = ProblemConfig(n=n, lattice="sc_curv", diel_type="chiral", nev=10)
+    solver = KPointSolver(cfg, dtype=jnp.complex64, maxiter=maxiter)
+    alphas = [ALPHA * (1.0 - 0.1 * i) for i in range(batch)]
+    out = solver.solve_batch(alphas, seed=0, validate_result=False)  # warmup
+    t0 = time.time()
+    out = solver.solve_batch(alphas, seed=1, validate_result=True)
+    wall = time.time() - t0
+    dev = max(float(np.abs(r.report.omega_pnt - r.report.omega_re).max())
+              for r in out if r.report is not None)
+    return {"variant": f"kbatch{batch}", "n": n,
+            "seconds_per_point": round(wall / batch, 3),
+            "seconds_total": round(wall, 3),
+            "iters": [int(r.iterations) for r in out],
+            "validation": float(f"{dev:.3e}")}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=120)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--maxiter", type=int, default=500)
+    ap.add_argument("--kbatch", type=int, default=2,
+                    help="0 disables the k-batch throughput row")
+    ap.add_argument("--kbatch-n", type=int, default=96,
+                    help="grid for the k-batch row (2 blocks at N=120 "
+                         "exceed the v5e HBM budget)")
+    ap.add_argument("--out", default="bench_logs/ab_tpu.jsonl")
+    args = ap.parse_args()
+
+    done = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            done = {json.loads(ln)["variant"] for ln in f if ln.strip()}
+
+    print("devices:", jax.devices(), flush=True)
+    base_omega = None
+    for name, opts in VARIANTS:
+        if name in done:
+            print(f"# skip {name} (done)", flush=True)
+            continue
+        print(f"# === {name} [{time.strftime('%H:%M:%S')}] ===", flush=True)
+        try:
+            rec = run_variant(name, opts, args.n, args.reps, args.maxiter)
+        except Exception as e:
+            print(f"# VARIANT FAILED {name}: {type(e).__name__}: {e}",
+                  flush=True)
+            with open(args.out, "a") as f:
+                f.write(json.dumps({"variant": name, "n": args.n,
+                                    "error": f"{type(e).__name__}: {e}"})
+                        + "\n")
+            continue
+        if name == "base":
+            base_omega = np.asarray(rec["omega"])
+        elif base_omega is not None:
+            rec["max_domega_vs_base"] = float(
+                f"{np.abs(np.asarray(rec['omega']) - base_omega).max():.3e}")
+        rec.pop("omega", None)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+    if args.kbatch and f"kbatch{args.kbatch}" not in done:
+        if f"serial_n{args.kbatch_n}" not in done:
+            print(f"# === serial baseline (N={args.kbatch_n}) ===", flush=True)
+            try:
+                rec = run_variant(f"serial_n{args.kbatch_n}", {},
+                                  args.kbatch_n, args.reps, args.maxiter)
+                rec.pop("omega", None)
+                with open(args.out, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(json.dumps(rec), flush=True)
+            except Exception as e:
+                print(f"# SERIAL BASELINE FAILED: {type(e).__name__}: {e}",
+                      flush=True)
+        print(f"# === kbatch{args.kbatch} (N={args.kbatch_n}) ===", flush=True)
+        try:
+            rec = run_kbatch(args.kbatch_n, args.kbatch, args.maxiter)
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+        except Exception as e:
+            print(f"# KBATCH FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
