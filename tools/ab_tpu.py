@@ -26,6 +26,11 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax
 
+if "--cpu-smoke" in sys.argv:
+    # Pin the CPU platform BEFORE any array op: the axon plugin ignores
+    # JAX_PLATFORMS and would attach to (and wedge) the exclusive tunnel.
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)
 try:
     jax.config.update("jax_compilation_cache_dir",
@@ -51,8 +56,9 @@ def run_variant(name, opts, n, reps, maxiter):
     from pcx.solvers.lobpcg import Status
 
     cfg = ProblemConfig(n=n, lattice="sc_curv", diel_type="chiral", nev=10)
+    kw = ({"real_boundary": True} if "--cpu-smoke" in sys.argv else {})
     solver = KPointSolver(cfg, dtype=jnp.complex64, maxiter=maxiter,
-                          solver_opts=dict(opts))
+                          solver_opts=dict(opts), **kw)
     r = solver.solve(ALPHA, seed=0, validate_result=False)
     print(f"#   [{name}] warmup: {Status(r.status).name} "
           f"iters={r.iterations} t={r.wall_time:.2f}s", flush=True)
@@ -82,7 +88,8 @@ def run_kbatch(n, batch, maxiter):
     from pcx.config import ProblemConfig
 
     cfg = ProblemConfig(n=n, lattice="sc_curv", diel_type="chiral", nev=10)
-    solver = KPointSolver(cfg, dtype=jnp.complex64, maxiter=maxiter)
+    kw = ({"real_boundary": True} if "--cpu-smoke" in sys.argv else {})
+    solver = KPointSolver(cfg, dtype=jnp.complex64, maxiter=maxiter, **kw)
     alphas = [ALPHA * (1.0 - 0.1 * i) for i in range(batch)]
     out = solver.solve_batch(alphas, seed=0, validate_result=False)  # warmup
     t0 = time.time()
@@ -108,6 +115,9 @@ def main():
                     help="grid for the k-batch row (2 blocks at N=120 "
                          "exceed the v5e HBM budget)")
     ap.add_argument("--out", default="bench_logs/ab_tpu.jsonl")
+    ap.add_argument("--cpu-smoke", action="store_true",
+                    help="CPU-pinned correctness smoke (forces the rs/pair "
+                         "real-boundary path; Pallas runs in interpret mode)")
     args = ap.parse_args()
 
     done = set()
