@@ -67,6 +67,18 @@ def _make_rp_fused(m, rdt, inv_diag, inv_sd):
     return rp
 
 
+def _dft3_fused(opts):
+    """Pallas fused DFT-with-transpose for the rs operator apply
+    (solver_opts {"dft_fuse": "pallas"}): the XLA lowering of the stacked
+    axis dot materializes a full-block relayout in HBM per axis pass; the
+    fused kernel rides the transpose on the blocked VMEM DMA (VERDICT
+    round-1 item 4b).  Returns None for the default XLA path."""
+    if opts.get("dft_fuse", "xla") != "pallas":
+        return None
+    from pcx.operators import pallas_kernels as pk
+    return pk.dft3_pairs_auto
+
+
 class KPointSolver:
     """Reusable jitted solver for one (config, dielectric) across k-points."""
 
@@ -251,9 +263,15 @@ class KPointSolver:
             x0p = (x0.real, x0.imag)
             rdt = x0.real.dtype
 
+            dft3_fn = _dft3_fused(opts)
+            if dft3_fn is not None and rdt != jnp.float32:
+                raise ValueError("dft_fuse='pallas' supports the complex64 "
+                                 "production path only (the kernel computes "
+                                 "in f32)")
+
             def h_one(v):
                 return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
-                                   shift=shift)
+                                   shift=shift, dft3_fn=dft3_fn)
 
             h_func = _chunked(
                 h_one,
@@ -266,7 +284,7 @@ class KPointSolver:
 
             rs_supported = ("ortho_passes", "refresh_every",
                             "floor_patience", "maxstagniter", "use_p",
-                            "rr_gram", "rp_fuse")
+                            "rr_gram", "rp_fuse", "dft_fuse")
             dropped = sorted(set(opts) - set(rs_supported))
             if dropped:
                 raise ValueError(
@@ -274,7 +292,8 @@ class KPointSolver:
                     f"pair-layout solver (solver_impl='rs'); pass "
                     f"solver_impl='complex' to use them")
             rs_opts = {k: v for k, v in opts.items()
-                       if k in rs_supported and k != "rp_fuse"}
+                       if k in rs_supported
+                       and k not in ("rp_fuse", "dft_fuse")}
             rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd)
                   if opts.get("rp_fuse", "xla") == "pallas" else None)
             res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
@@ -346,10 +365,15 @@ class KPointSolver:
             sh = shift.astype(rdt)
             wf = (dft.fwd.real, dft.fwd.imag)
             wi = (dft.inv.real, dft.inv.imag)
+            dft3_fn = _dft3_fused(self.solver_opts)
+            if dft3_fn is not None and rdt != jnp.float32:
+                raise ValueError("dft_fuse='pallas' supports the complex64 "
+                                 "production path only (the kernel computes "
+                                 "in f32)")
 
             def h_one(v):
                 return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
-                                   shift=sh)
+                                   shift=sh, dft3_fn=dft3_fn)
 
             if c and m > c:
                 def h_func(v):
@@ -386,7 +410,8 @@ class KPointSolver:
         n = self.cfg.n
         opts = self.solver_opts
         rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
-                        "maxstagniter", "use_p", "rr_gram", "rp_fuse")
+                        "maxstagniter", "use_p", "rr_gram", "rp_fuse",
+                        "dft_fuse")
         dropped = sorted(set(opts) - set(rs_supported))
         if dropped:
             raise ValueError(
@@ -394,7 +419,8 @@ class KPointSolver:
                 f"pair-layout solver (solver_impl='rs'); pass "
                 f"solver_impl='complex' to use them")
         rs_opts = {k: v for k, v in opts.items()
-                   if k in rs_supported and k != "rp_fuse"}
+                   if k in rs_supported
+                   and k not in ("rp_fuse", "dft_fuse")}
 
         chunk = self.apply_chunk
         c = max((d for d in range(1, min(chunk, m) + 1) if m % d == 0),

@@ -234,3 +234,94 @@ def resid_precond_auto(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048):
     interpret = jax.default_backend() == "cpu"
     return fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk=chunk,
                                interpret=interpret)
+
+
+# -- fused DFT-with-transpose (one axis pass) ---------------------------------
+#
+# The matmul-DFT (operators/dft.py, rs.dft3_p) contracts the -3rd spatial
+# axis per pass; XLA lowers that to transpose-then-GEMM, materializing a
+# relayout of the full block in HBM per axis (the dominant per-iteration
+# cost in the round-1 ablation profile — the apply runs ~3x its traffic
+# roofline).  This kernel fuses the transpose INTO the blocked VMEM DMA:
+# each grid step loads an (A, jt, K) brick of the (B, A, J, K) input
+# (strided read — the relayout rides the DMA, overlapped with compute),
+# contracts A on the MXU, and writes the cyclic-permuted (jt, K, A') brick.
+# One HBM read + one write per axis pass, no separate transpose pass.
+#
+# Complex arithmetic is ONE stacked real matmul per brick row:
+# [Xre; Xim]^T (K, 2A) @ [[wr, wi], [-wi, wr]] (2A, 2A') = [Yre | Yim]
+# (the same 2A-deep MXU trick as rs.dft3_p's stacked dot, here per-tile).
+
+
+def _axis_dft_kernel(xr, xi, w2, outr, outi):
+    """Grid: (B, J // jt).  xr/xi: (1, A, jt, K) VMEM bricks; w2: (2A, 2A')
+    stacked twiddle; outr/outi: (1, jt, K, A')."""
+    jt = xr.shape[2]
+    a2 = w2.shape[1] // 2
+    w2v = w2[:, :]
+    dims = (((0,), (0,)), ((), ()))
+    for t in range(jt):
+        x2 = jnp.concatenate([xr[0, :, t, :], xi[0, :, t, :]], axis=0)
+        y = jax.lax.dot_general(x2, w2v, dims,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        outr[0, t, :, :] = y[:, :a2]
+        outi[0, t, :, :] = y[:, a2:]
+
+
+def _jt_for(j: int, target: int = 8) -> int:
+    """Largest divisor of j that is <= target (brick row count)."""
+    return max(d for d in range(1, min(target, j) + 1) if j % d == 0)
+
+
+def stacked_twiddle(w):
+    """(2A, 2A') f32 stacked twiddle from an (A, A') complex-pair tuple:
+    [[wr, wi], [-wi, wr]] — one real matmul applies the complex DFT."""
+    wr, wi = (a.astype(jnp.float32) for a in w)
+    return jnp.block([[wr, wi], [-wi, wr]])
+
+
+def axis_dft_pairs(x, w2, jt: int = 0, interpret: bool = False):
+    """One DFT axis pass on an f32 pair: (B, A, J, K) -> (B, J, K, A'),
+    contracting A (the -3rd axis) and appending the transformed axis last
+    (the cyclic layout of rs.dft3_p)."""
+    xr, xi = x
+    b, a, j, k = xr.shape
+    jt = jt or _jt_for(j)
+    a2 = w2.shape[1] // 2
+    in_spec = pl.BlockSpec((1, a, jt, k), lambda bb, jj: (bb, 0, jj, 0))
+    w_spec = pl.BlockSpec((2 * a, 2 * a2), lambda bb, jj: (0, 0))
+    out_spec = pl.BlockSpec((1, jt, k, a2), lambda bb, jj: (bb, jj, 0, 0))
+    outr, outi = pl.pallas_call(
+        _axis_dft_kernel,
+        grid=(b, j // jt),
+        in_specs=[in_spec, in_spec, w_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, j, k, a2), jnp.float32),
+                   jax.ShapeDtypeStruct((b, j, k, a2), jnp.float32)),
+        interpret=interpret,
+    )(xr.astype(jnp.float32), xi.astype(jnp.float32), w2)
+    return outr, outi
+
+
+def dft3_pairs_fused(x, w, jt: int = 0, interpret: bool = False):
+    """3-D DFT over the last three axes of an f32 pair via three fused
+    axis passes (drop-in for rs.dft3_p on f32 pairs; leading dims are
+    flattened to one batch axis and restored)."""
+    xr, xi = x
+    lead = xr.shape[:-3]
+    n3 = xr.shape[-3:]
+    b = 1
+    for s in lead:
+        b *= s
+    cur = (xr.reshape((b,) + n3), xi.reshape((b,) + n3))
+    w2 = stacked_twiddle(w)
+    for _ in range(3):
+        cur = axis_dft_pairs(cur, w2, jt=jt, interpret=interpret)
+    return (cur[0].reshape(lead + n3), cur[1].reshape(lead + n3))
+
+
+def dft3_pairs_auto(x, w, jt: int = 0):
+    """dft3_pairs_fused with interpret mode auto-selected."""
+    interpret = jax.default_backend() == "cpu"
+    return dft3_pairs_fused(x, w, jt=jt, interpret=interpret)

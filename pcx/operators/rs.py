@@ -234,20 +234,24 @@ def _crossdof_p(x: Pair, diag, masks, sten, eps, dtype=jnp.float64) -> Pair:
 # -- the penalized operator ---------------------------------------------------
 
 def ama_p(x: Pair, d_a: Pair, diel, w_fwd: Pair, w_inv: Pair,
-          precision=lax.Precision.HIGHEST) -> Pair:
-    """A M A^H on f64 pairs (reference: AMA, pcfft.py:130-158)."""
+          precision=lax.Precision.HIGHEST, dft3_fn=None) -> Pair:
+    """A M A^H on f64 pairs (reference: AMA, pcfft.py:130-158).
+
+    ``dft3_fn(x, w)`` overrides the stacked-dot 3-D DFT (e.g. the Pallas
+    fused DFT-with-transpose, pallas_kernels.dft3_pairs_auto)."""
+    dft = dft3_fn or (lambda v, w: dft3_p(v, w, precision))
     y = a_block_p(x, pneg(pconj(d_a)))
-    y = dft3_p(y, w_fwd, precision)
+    y = dft(y, w_fwd)
     y = diel_apply_p(diel, y, dtype=x[0].dtype)
-    y = dft3_p(y, w_inv, precision)
+    y = dft(y, w_inv)
     return a_block_p(y, d_a)
 
 
 def ama_bb_p(x: Pair, d_a: Pair, b_diag: jnp.ndarray, b_sdiag: Pair,
              diel, w_fwd: Pair, w_inv: Pair, shift=0.0,
-             precision=lax.Precision.HIGHEST) -> Pair:
+             precision=lax.Precision.HIGHEST, dft3_fn=None) -> Pair:
     """A M A^H + pnt B^H B (+ shift) on f64 pairs (b pre-scaled by pnt)."""
-    y = padd(ama_p(x, d_a, diel, w_fwd, w_inv, precision),
+    y = padd(ama_p(x, d_a, diel, w_fwd, w_inv, precision, dft3_fn=dft3_fn),
              h_block_p(x, b_diag, b_sdiag))
     return padd(y, pscale(x, shift))
 

@@ -120,3 +120,65 @@ def test_rp_fuse_pallas_solve_matches_default():
     r2 = KPointSolver(cfg, solver_opts={"rp_fuse": "pallas"},
                       segment_iters=6, **kw).solve(alpha, seed=4)
     np.testing.assert_allclose(r2.omega_re, r0.omega_re, atol=5e-5)
+
+
+def test_dft3_pairs_fused_matches_stacked_dot(rng):
+    """The fused DFT-with-transpose axis kernel (one HBM pass per axis,
+    transpose ridden on the blocked DMA) must reproduce rs.dft3_p."""
+    from pcx.operators import dft as dft_mod
+    from pcx.operators import rs
+    from pcx.operators.pallas_kernels import dft3_pairs_fused
+
+    for n, lead in ((8, (2, 3)), (10, (4,))):
+        mats = dft_mod.dft_mats(n, np.complex128)
+        for w_np in (mats.fwd, mats.inv):
+            w = (jnp.asarray(w_np.real, jnp.float32),
+                 jnp.asarray(w_np.imag, jnp.float32))
+            x = (rng.standard_normal(lead + (n, n, n))
+                 + 1j * rng.standard_normal(lead + (n, n, n)))
+            xp = (jnp.asarray(x.real, jnp.float32),
+                  jnp.asarray(x.imag, jnp.float32))
+            ref = rs.dft3_p(xp, w)
+            got = dft3_pairs_fused(xp, w, interpret=True)
+            scale = float(np.abs(np.asarray(ref[0])).max())
+            for i in (0, 1):
+                np.testing.assert_allclose(np.asarray(got[i]),
+                                           np.asarray(ref[i]),
+                                           atol=5e-6 * scale)
+
+
+def test_dft_fuse_pallas_solve_matches_default():
+    """KPointSolver with solver_opts={'dft_fuse': 'pallas'} (fused
+    DFT-with-transpose, interpret mode on CPU) reproduces the default rs
+    solve's frequencies, including under the segmented driver."""
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+
+    cfg = ProblemConfig(n=8, lattice="sc_curv", nev=4)
+    kw = dict(dtype=jnp.complex64, solver_impl="rs", real_boundary=True,
+              refine=False, tol=1e-5, maxiter=300)
+    alpha = np.array([np.pi, 0.0, 0.0])
+    r0 = KPointSolver(cfg, **kw).solve(alpha, seed=4)
+    r1 = KPointSolver(cfg, solver_opts={"dft_fuse": "pallas"},
+                      **kw).solve(alpha, seed=4)
+    assert r1.status in (1, 5)
+    np.testing.assert_allclose(r1.omega_re, r0.omega_re, atol=5e-5)
+
+    r2 = KPointSolver(cfg, solver_opts={"dft_fuse": "pallas"},
+                      segment_iters=6, **kw).solve(alpha, seed=4)
+    np.testing.assert_allclose(r2.omega_re, r0.omega_re, atol=5e-5)
+
+
+def test_dft_fuse_rejects_f64():
+    """The fused DFT computes in f32; the f64/complex128 rs path must
+    refuse it loudly instead of silently degrading the refine precision."""
+    import pytest
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+
+    cfg = ProblemConfig(n=8, lattice="sc_curv", nev=4)
+    s = KPointSolver(cfg, dtype=jnp.complex128, solver_impl="rs",
+                     real_boundary=True, refine=False,
+                     solver_opts={"dft_fuse": "pallas"})
+    with pytest.raises(ValueError, match="complex64"):
+        s.solve(np.array([np.pi, 0.0, 0.0]), seed=0)
