@@ -46,7 +46,10 @@ VARIANTS = [
     ("base", {}),
     ("gram_pallas", {"rr_gram": "pallas"}),
     ("rp_pallas", {"rp_fuse": "pallas"}),
+    ("dft_pallas", {"dft_fuse": "pallas"}),
     ("both", {"rr_gram": "pallas", "rp_fuse": "pallas"}),
+    ("all3", {"rr_gram": "pallas", "rp_fuse": "pallas",
+              "dft_fuse": "pallas"}),
 ]
 
 
