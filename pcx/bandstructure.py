@@ -240,6 +240,14 @@ class KPointSolver:
             return h_func
 
         def run_core(d_a, b, inv, shift, x0, diel, dft):
+            fusion_only = sorted(k for k in ("rr_gram", "rp_fuse",
+                                             "dft_fuse") if k in opts)
+            if fusion_only:
+                raise ValueError(
+                    f"solver_opts {fusion_only} are accelerator-kernel "
+                    f"options of the pair-layout solver; they require "
+                    f"solver_impl='rs' (real_boundary=True on CPU)")
+
             def h_one(v):
                 return maxwell.ama_bb(v, d_a, b, diel, dft=dft) + shift * v
 
@@ -1046,7 +1054,8 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
             indices: Optional[list] = None, gap: int = GAP,
             dtype=jnp.complex128, tol: float = TOL, maxiter: int = MAXITER,
             nev: int = NEV, seed: int = 0, verbose: bool = True,
-            metrics_path: Optional[str] = None, k_batch: int = 1) -> list:
+            metrics_path: Optional[str] = None, k_batch: int = 1,
+            solver_opts: Optional[dict] = None) -> list:
     """Full Brillouin-zone band sweep with per-k-point JSON checkpointing,
     resume, warm starts, and failure containment.
 
@@ -1056,7 +1065,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     cfg = ProblemConfig(n=n, lattice=lattice, diel_type=diel_type,
                         eps_opt=eps_opt, nev=nev)
     solver = KPointSolver(cfg, dtype=dtype, tol=tol / cfg.scal**2,
-                          maxiter=maxiter)
+                          maxiter=maxiter, solver_opts=solver_opts)
     alphas = lattices.k_path(lattice, gap=gap)
     n_k = alphas.shape[0]
 

@@ -45,9 +45,20 @@ err = bandgap(n={n}, lattice={lattice!r}, diel_type={diel!r},
               eps_opt={eps_opt}, output_dir={output!r}, gap={gap},
               dtype=(jnp.complex128 if cpu else jnp.complex64),
               maxiter={maxiter}, nev={nev}, k_batch={k_batch},
-              metrics_path={metrics!r})
+              metrics_path={metrics!r}, solver_opts={solver_opts!r})
 sys.exit(2 if err else 0)
 """
+
+
+def parse_opt(kv: str):
+    """'key=val' with val coerced to int/float where possible."""
+    k, _, v = kv.partition("=")
+    for cast in (int, float):
+        try:
+            return k, cast(v)
+        except ValueError:
+            pass
+    return k, v
 
 
 def library_status(path, lattice, n):
@@ -74,7 +85,12 @@ def main():
     ap.add_argument("--k-batch", type=int, default=1)
     ap.add_argument("--max-rounds", type=int, default=8)
     ap.add_argument("--metrics", default=None)
+    ap.add_argument("--solver-opt", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="extra KPointSolver solver_opts entry (repeatable),"
+                         " e.g. --solver-opt dft_fuse=pallas")
     args = ap.parse_args()
+    solver_opts = dict(parse_opt(kv) for kv in args.solver_opt) or None
 
     suffix = str(args.eps_opt) if args.eps_opt else ""
     path = os.path.join(args.output, args.diel,
@@ -83,7 +99,8 @@ def main():
                            diel=args.diel, eps_opt=args.eps_opt,
                            output=args.output, gap=args.gap,
                            nev=args.nev, maxiter=args.maxiter,
-                           k_batch=args.k_batch, metrics=args.metrics)
+                           k_batch=args.k_batch, metrics=args.metrics,
+                           solver_opts=solver_opts)
 
     for rnd in range(args.max_rounds):
         t0 = time.time()
