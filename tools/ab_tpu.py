@@ -43,11 +43,14 @@ import jax.numpy as jnp
 ALPHA = np.array([np.pi, 0.0, 0.0])
 
 VARIANTS = [
+    # Ordered safest-first: an unsupported-Mosaic-feature wedge on the
+    # tunneled backend poisons every later variant in the process, so the
+    # all-f32 kernels run before the f64-accumulating gram9.
     ("base", {}),
-    ("gram_pallas", {"rr_gram": "pallas"}),
-    ("rp_pallas", {"rp_fuse": "pallas"}),
     ("dft_pallas", {"dft_fuse": "pallas"}),
-    ("both", {"rr_gram": "pallas", "rp_fuse": "pallas"}),
+    ("rp_pallas", {"rp_fuse": "pallas"}),
+    ("rp_dft", {"rp_fuse": "pallas", "dft_fuse": "pallas"}),
+    ("gram_pallas", {"rr_gram": "pallas"}),
     ("all3", {"rr_gram": "pallas", "rp_fuse": "pallas",
               "dft_fuse": "pallas"}),
 ]
