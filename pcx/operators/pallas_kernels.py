@@ -26,15 +26,12 @@ from jax.experimental import pallas as pl
 
 def _gram9_kernel(*refs):
     """Grid: (num_chunks,).  refs = 12 inputs (x/w/p re+im, hx/hw/hp re+im,
-    each (m, C) VMEM block) + 2 outputs (t_re, t_im, (3m, 3m) f64)."""
+    each (m, C) VMEM block) + 2 outputs (PER-CHUNK f32 partials
+    (1, 3m, 3m); the caller reduces them in f64 — Mosaic has no 64-bit
+    vector types on this backend, and per-chunk-f32 + cross-chunk-f64 is
+    exactly the incumbent XLA path's chunked accumulation semantics)."""
     (xr, xi, wr, wi, pr, pi,
      hxr, hxi, hwr, hwi, hpr, hpi, out_re, out_im) = refs
-    c = pl.program_id(0)
-
-    @pl.when(c == 0)
-    def _():
-        out_re[:, :] = jnp.zeros_like(out_re)
-        out_im[:, :] = jnp.zeros_like(out_im)
 
     a_blocks = ((xr, xi), (wr, wi), (pr, pi))
     b_blocks = ((hxr, hxi), (hwr, hwi), (hpr, hpi))
@@ -51,9 +48,9 @@ def _gram9_kernel(*refs):
             # conj(a) . b^T  =  (ar - i ai) (br + i bi)^T
             re = dot(arv, brv) + dot(aiv, biv)
             im = dot(arv, biv) - dot(aiv, brv)
-            sl = (pl.ds(i * m, m), pl.ds(j * m, m))
-            out_re[sl] += re.astype(jnp.float64)
-            out_im[sl] += im.astype(jnp.float64)
+            sl = (0, pl.ds(i * m, m), pl.ds(j * m, m))
+            out_re[sl] = re
+            out_im[sl] = im
 
 
 def fused_gram9_pairs(x, w, p, hx, hw, hp, chunk: int = 2048,
@@ -100,18 +97,24 @@ def fused_gram9(x, w, p, hx, hw, hp, chunk: int = 2048,
 
 def _gram9_call(planes, m, nc, chunk, interpret):
 
-    in_spec = pl.BlockSpec((m, chunk), lambda c: (0, c))
-    out_spec = pl.BlockSpec((3 * m, 3 * m), lambda c: (0, 0))
+    # Index-map zeros are derived from the (i32) grid index: under
+    # jax_enable_x64, literal 0s trace as i64 and Mosaic refuses the mixed
+    # i32/i64 index tuple ("failed to legalize func.return", observed on
+    # the v5e AOT compiler 2026-08-17).
+    in_spec = pl.BlockSpec((m, chunk), lambda c: (c * 0, c))
+    out_spec = pl.BlockSpec((1, 3 * m, 3 * m), lambda c: (c, c * 0, c * 0))
     t_re, t_im = pl.pallas_call(
         _gram9_kernel,
         grid=(nc,),
         in_specs=[in_spec] * 12,
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((3 * m, 3 * m), jnp.float64),
-                   jax.ShapeDtypeStruct((3 * m, 3 * m), jnp.float64)),
+        out_shape=(jax.ShapeDtypeStruct((nc, 3 * m, 3 * m), jnp.float32),
+                   jax.ShapeDtypeStruct((nc, 3 * m, 3 * m), jnp.float32)),
         interpret=interpret,
     )(*planes)
-    return t_re, t_im
+    # Cross-chunk reduction in f64 (outside the kernel).
+    return (jnp.sum(t_re.astype(jnp.float64), axis=0),
+            jnp.sum(t_im.astype(jnp.float64), axis=0))
 
 
 def gram9_pairs_auto(x, w, p, hx, hw, hp, chunk: int = 2048):
@@ -210,10 +213,11 @@ def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
                               inv_sd[0].astype(jnp.float32),
                               inv_sd[1].astype(jnp.float32))]
 
-    blk = pl.BlockSpec((m, 3, chunk), lambda c: (0, 0, c))
-    sblk = pl.BlockSpec((3, chunk), lambda c: (0, c))
-    lamblk = pl.BlockSpec((m, 128), lambda c: (0, 0))
-    ssblk = pl.BlockSpec((m, 128), lambda c: (0, 0))
+    # i32-derived index-map zeros: see _gram9_call.
+    blk = pl.BlockSpec((m, 3, chunk), lambda c: (c * 0, c * 0, c))
+    sblk = pl.BlockSpec((3, chunk), lambda c: (c * 0, c))
+    lamblk = pl.BlockSpec((m, 128), lambda c: (c * 0, c * 0))
+    ssblk = pl.BlockSpec((m, 128), lambda c: (c * 0, c * 0))
     wr, wi, ss = pl.pallas_call(
         _resid_precond_kernel,
         grid=(nc,),
@@ -289,9 +293,13 @@ def axis_dft_pairs(x, w2, jt: int = 0, interpret: bool = False):
     b, a, j, k = xr.shape
     jt = jt or _jt_for(j)
     a2 = w2.shape[1] // 2
-    in_spec = pl.BlockSpec((1, a, jt, k), lambda bb, jj: (bb, 0, jj, 0))
-    w_spec = pl.BlockSpec((2 * a, 2 * a2), lambda bb, jj: (0, 0))
-    out_spec = pl.BlockSpec((1, jt, k, a2), lambda bb, jj: (bb, jj, 0, 0))
+    # i32-derived index-map zeros: see _gram9_call.
+    in_spec = pl.BlockSpec((1, a, jt, k),
+                           lambda bb, jj: (bb, jj * 0, jj, jj * 0))
+    w_spec = pl.BlockSpec((2 * a, 2 * a2),
+                          lambda bb, jj: (jj * 0, jj * 0))
+    out_spec = pl.BlockSpec((1, jt, k, a2),
+                            lambda bb, jj: (bb, jj, jj * 0, jj * 0))
     outr, outi = pl.pallas_call(
         _axis_dft_kernel,
         grid=(b, j // jt),
