@@ -124,7 +124,12 @@ def main():
     ap.add_argument("--cpu-smoke", action="store_true",
                     help="CPU-pinned correctness smoke (forces the rs/pair "
                          "real-boundary path; Pallas runs in interpret mode)")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only these variant names")
     args = ap.parse_args()
+    if args.only is not None:
+        global VARIANTS
+        VARIANTS = [(n_, o) for n_, o in VARIANTS if n_ in set(args.only)]
 
     done = set()
     if os.path.exists(args.out):
