@@ -165,6 +165,15 @@ class KPointSolver:
             solver_impl = "rs" if (self.rb and solver == "softlock") \
                 else "complex"
         self.impl = solver_impl
+        if (self.impl == "rs" and jax.default_backend() != "cpu"
+                and jnp.dtype(dtype) == jnp.dtype(jnp.complex64)):
+            # Accelerator production defaults: the fused residual+precond
+            # and fused DFT-with-transpose Pallas kernels measure 358.6 ->
+            # 325.7 ms/iter (-9%) at N=120 with unchanged validation
+            # (BENCH_NOTES round-2 A/B, bench_logs/ab_tpu2.jsonl).  CPU
+            # keeps the XLA path (interpret-mode Pallas is test-only).
+            self.solver_opts.setdefault("rp_fuse", "pallas")
+            self.solver_opts.setdefault("dft_fuse", "pallas")
         use_matmul = (fft_mode == "matmul" or self.impl == "rs"
                       or (fft_mode == "auto" and self.rb))
         self.dft = (self._place(dft_mod.dft_mats(cfg.n))

@@ -37,6 +37,19 @@ def _axpy(a, x: Pair, y: Pair) -> Pair:
     return (a * x[0] + y[0], a * x[1] + y[1])
 
 
+def _divisor_chunk(d: int, target: int = 65536) -> int:
+    """Largest Gram chunk <= target that divides d (so gram_f64_p's
+    chunked reshape is a free view).  A non-divisor chunk pads, which
+    materializes a copy of every (m, D) operand plane — 0.6 GB each at
+    N=150.  Falls back to target when d has no divisor near it (then
+    padding is unavoidable)."""
+    lo = -(-d // target)
+    for nc in range(lo, min(d, 4 * lo) + 1):
+        if d % nc == 0:
+            return d // nc
+    return target
+
+
 def rs_solver_parts(
     h_func: Callable[[Pair], Pair],
     p_func: Callable[[Pair], Pair],
@@ -76,7 +89,7 @@ def rs_solver_parts(
     composes the same parts into the original single-program form, so CPU
     tests pin both paths to identical semantics.
     """
-    if rr_gram not in ("xla", "pallas"):
+    if rr_gram not in ("xla", "xla9", "pallas"):
         raise ValueError(f"unknown rr_gram {rr_gram!r}")
     if rr_gram == "pallas" and reduce_axis is not None:
         raise ValueError("rr_gram='pallas' does not psum over a mesh axis")
@@ -251,6 +264,22 @@ def rs_solver_parts(
             if rr_gram == "pallas":
                 from pcx.operators.pallas_kernels import gram9_pairs_auto
                 t_re, t_im = gram9_pairs_auto(xf, wf, pf, hxf, hwf, hpf)
+            elif rr_gram == "xla9":
+                # Concat-free Rayleigh-Ritz Gram: 9 (m, m) block Grams
+                # instead of one stacked (3m, D) call.  Same
+                # f64-accumulated semantics; trades 9 dispatches for NOT
+                # materializing the [X|W|P] concatenations — at N=150 the
+                # two stacked concats are four 1.8 GB HBM temps, the
+                # difference between compiling and OOM
+                # (bench_logs/bench_matrix.log, sc_curv_chiral_150).
+                bases, hbases = (xf, wf, pf), (hxf, hwf, hpf)
+                ch = _divisor_chunk(xf[0].shape[1])
+                g = [[rr.gram_f64_p(a, hb, chunk=ch, axis_name=reduce_axis)
+                      for hb in hbases] for a in bases]
+                t_re = jnp.block([[g[i][j][0] for j in range(3)]
+                                  for i in range(3)])
+                t_im = jnp.block([[g[i][j][1] for j in range(3)]
+                                  for i in range(3)])
             else:
                 # ONE stacked (3m, D) x (3m, D) Gram instead of 9 (m, m)
                 # calls: same FLOPs, 1/9 the dispatches, and 3x wider GEMMs

@@ -84,6 +84,15 @@ def main():
     ap.add_argument("--maxiter", type=int, default=500)
     ap.add_argument("--k-batch", type=int, default=1)
     ap.add_argument("--max-rounds", type=int, default=8)
+    ap.add_argument("--stall", type=int, default=900,
+                    help="kill the worker if the checkpoint JSON stops "
+                         "advancing for this many seconds (observed: the "
+                         "tunnel can hang an RPC forever mid-sweep; a "
+                         "k-point normally takes <60 s)")
+    ap.add_argument("--stall-grace", type=int, default=2400,
+                    help="stall allowance before the round's FIRST "
+                         "checkpoint write (process warmup on a degraded "
+                         "tunnel takes up to ~20 min)")
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--solver-opt", action="append", default=[],
                     metavar="KEY=VAL",
@@ -104,9 +113,34 @@ def main():
 
     for rnd in range(args.max_rounds):
         t0 = time.time()
-        r = subprocess.run([sys.executable, "-u", "-c", worker], cwd=REPO)
+        p = subprocess.Popen([sys.executable, "-u", "-c", worker], cwd=REPO)
+        # Stall watchdog: the tunnel can hang a device RPC forever (observed
+        # 2026-08-17: k-point 24 of a sweep blocked >20 min with no CPU).
+        # Progress signal = the checkpoint JSON's mtime (rewritten after
+        # every k-point).  Kill a stalled worker; the next round resumes.
+        last_mtime = None
+        deadline = t0 + args.stall_grace
+        stalled = False
+        while p.poll() is None:
+            time.sleep(15)
+            try:
+                mt = os.path.getmtime(path)
+            except OSError:
+                mt = None
+            if mt is not None and mt != last_mtime:
+                last_mtime = mt
+                deadline = time.time() + args.stall
+            if time.time() > deadline:
+                print(f"# STALL: no checkpoint progress for "
+                      f"{args.stall if last_mtime else args.stall_grace}s "
+                      f"— killing worker", flush=True)
+                p.kill()
+                p.wait()
+                stalled = True
+                break
+        rc = p.returncode if not stalled else "stall-kill"
         pending, failed = library_status(path, args.lattice, args.n)
-        print(f"# round {rnd}: rc={r.returncode}, {time.time()-t0:.0f}s, "
+        print(f"# round {rnd}: rc={rc}, {time.time()-t0:.0f}s, "
               f"pending={len(pending or [])}, failed={len(failed or [])}",
               flush=True)
         if pending == [] and failed == []:
