@@ -43,13 +43,33 @@ import jax.numpy as jnp
 ALPHA = np.array([np.pi, 0.0, 0.0])
 
 VARIANTS = [
+    # NOTE (round 2): rp_fuse+dft_fuse Pallas became the accelerator
+    # DEFAULT after the 19:15 A/B (bench_logs/ab_tpu2.jsonl, -9% ms/iter),
+    # so "base" now means both fuses ON and "no_fuse" is the old base.
     # Ordered safest-first: an unsupported-Mosaic-feature wedge on the
     # tunneled backend poisons every later variant in the process, so the
     # all-f32 kernels run before the f64-accumulating gram9.
     ("base", {}),
-    ("dft_pallas", {"dft_fuse": "pallas"}),
-    ("rp_pallas", {"rp_fuse": "pallas"}),
+    ("no_fuse", {"rp_fuse": "xla", "dft_fuse": "xla"}),
+    ("dft_pallas", {"rp_fuse": "xla", "dft_fuse": "pallas"}),
+    ("rp_pallas", {"rp_fuse": "pallas", "dft_fuse": "xla"}),
     ("rp_dft", {"rp_fuse": "pallas", "dft_fuse": "pallas"}),
+    # Next per-iteration levers (round-2 follow-up; compare on ms_per_iter
+    # AND total seconds — refresh/ortho change both the per-iteration cost
+    # and the convergence path):
+    # xla9: concat-free blockwise Gram — kills the four (3m, D) stacked
+    # concat materializations (~4 GB HBM traffic per iteration at N=120).
+    ("xla9", {"rr_gram": "xla9"}),
+    # refresh_every: each refresh = 2 extra operator applies; 8 -> 12/16
+    # saves ~8/12% of matvecs IF the recombination drift stays benign.
+    ("refresh12", {"refresh_every": 12}),
+    ("refresh16", {"refresh_every": 16}),
+    # ortho_passes: the second SVQB Gram-NS pass costs ~2 extra Gram+mix
+    # passes over W/P per iteration.
+    ("ortho1", {"ortho_passes": 1}),
+    # floor_patience: iterations past the best residual are pure tail
+    # overhead at the c64 floor (validation ~1e-7 << the 1e-3 gate).
+    ("patience3", {"floor_patience": 3}),
     ("gram_pallas", {"rr_gram": "pallas"}),
     ("all3", {"rr_gram": "pallas", "rp_fuse": "pallas",
               "dft_fuse": "pallas"}),
@@ -79,9 +99,14 @@ def run_variant(name, opts, n, reps, maxiter):
               f"iters={r.iterations}", flush=True)
     rep = solver.validate_solution(ALPHA, r)
     best = int(np.argmin(times))
+    # ms_per_iter over ALL reps: iteration counts are seed-noisy (42-62
+    # observed for one config), so the per-iteration rate is the stable
+    # throughput comparator; min seconds stays the headline.
+    rate = 1e3 * float(np.sum(times)) / max(int(np.sum(iters)), 1)
     return {"variant": name, "n": n, "seconds": round(float(min(times)), 3),
-            "iters": iters[best],
-            "ms_per_iter": round(1e3 * times[best] / max(iters[best], 1), 1),
+            "iters": iters[best], "all_iters": iters,
+            "all_seconds": [round(t, 3) for t in times],
+            "ms_per_iter": round(rate, 1),
             "validation": float(f"{np.abs(rep.omega_pnt - rep.omega_re).max():.3e}"),
             "omega": [float(w) for w in rep.omega_pnt]}
 
