@@ -31,6 +31,10 @@ import os, sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join({repo!r}, ".jax_cache"))
 import jax
+if os.environ.get("PCX_SWEEP_CPU"):
+    # test mode: pin the CPU backend before any array op (the axon plugin
+    # ignores JAX_PLATFORMS and would attach to the exclusive tunnel)
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 try:
     jax.config.update("jax_compilation_cache_dir",
@@ -83,7 +87,12 @@ def main():
     ap.add_argument("--nev", type=int, default=10)
     ap.add_argument("--maxiter", type=int, default=500)
     ap.add_argument("--k-batch", type=int, default=1)
-    ap.add_argument("--max-rounds", type=int, default=8)
+    ap.add_argument("--max-rounds", type=int, default=8,
+                    help="budget of PRODUCTIVE rounds (attempts that "
+                         "changed the checkpoint)")
+    ap.add_argument("--outage-budget", type=float, default=4 * 3600,
+                    help="total seconds allowed across no-progress "
+                         "attempts (device outage) before giving up")
     ap.add_argument("--stall", type=int, default=900,
                     help="kill the worker if the checkpoint JSON stops "
                          "advancing for this many seconds (observed: the "
@@ -111,8 +120,17 @@ def main():
                            k_batch=args.k_batch, metrics=args.metrics,
                            solver_opts=solver_opts)
 
-    for rnd in range(args.max_rounds):
+    # "Rounds" are PRODUCTIVE attempts: an attempt that changed nothing in
+    # the checkpoint (typically the backend refusing to initialize while
+    # the tunneled device recovers from a fault — observed outages of 1 h+)
+    # burns wall-clock but not the round budget, bounded instead by
+    # --outage-budget.  Otherwise an 8-round budget evaporates into a long
+    # outage without retrying a single k-point (observed 2026-08-17 20:13).
+    rnd = 0
+    outage_left = args.outage_budget
+    while rnd < args.max_rounds:
         t0 = time.time()
+        state_before = library_status(path, args.lattice, args.n)
         p = subprocess.Popen([sys.executable, "-u", "-c", worker], cwd=REPO)
         # Stall watchdog: the tunnel can hang a device RPC forever (observed
         # 2026-08-17: k-point 24 of a sweep blocked >20 min with no CPU).
@@ -140,12 +158,24 @@ def main():
                 break
         rc = p.returncode if not stalled else "stall-kill"
         pending, failed = library_status(path, args.lattice, args.n)
-        print(f"# round {rnd}: rc={rc}, {time.time()-t0:.0f}s, "
-              f"pending={len(pending or [])}, failed={len(failed or [])}",
+        elapsed = time.time() - t0
+        productive = (pending, failed) != state_before
+        print(f"# round {rnd}: rc={rc}, {elapsed:.0f}s, "
+              f"pending={len(pending or [])}, failed={len(failed or [])}"
+              f"{'' if productive else ' [no-progress: outage?]'}",
               flush=True)
         if pending == [] and failed == []:
             print(f"# COMPLETE: {path}")
             return 0
+        if productive:
+            rnd += 1
+        else:
+            outage_left -= elapsed
+            if outage_left <= 0:
+                print(f"# OUTAGE BUDGET EXHAUSTED ({args.outage_budget}s of "
+                      f"no-progress attempts): pending={pending}, "
+                      f"failed={failed}", file=sys.stderr)
+                return 1
         # Crash (device fault) or failures recorded: restart/resume.  Give
         # the tunneled device time to release before reattaching (measured
         # 3m40s worst case; premature reattach yields UNAVAILABLE errors).
