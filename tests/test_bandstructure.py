@@ -209,3 +209,26 @@ def test_solve_batch_segmented_matches_oneshot():
         assert a.status == b.status
         assert a.iterations == b.iterations
         np.testing.assert_allclose(b.omega_re, a.omega_re, atol=1e-8)
+
+
+def test_solver_lever_opts_preserve_frequencies():
+    """The per-iteration A/B levers (refresh_every, ortho_passes,
+    floor_patience, rr_gram='xla9') are pure cost/termination knobs: each
+    must reproduce the default configuration's frequencies through the
+    validation gate (protects tools/ab_tpu.py variants from silent
+    mis-wiring)."""
+    import jax.numpy as jnp
+    from pcx.config import ProblemConfig
+    cfg = ProblemConfig(n=8, lattice="sc_curv", nev=4)
+    alpha = np.array([np.pi, 0.3, 0.0])
+    kw = dict(dtype=jnp.complex128, solver_impl="rs", real_boundary=True,
+              refine=False)
+    base = bs.KPointSolver(cfg, **kw).solve(alpha, seed=3)
+    for opts in ({"refresh_every": 12}, {"refresh_every": 16},
+                 {"ortho_passes": 1}, {"floor_patience": 3},
+                 {"rr_gram": "xla9"}):
+        r = bs.KPointSolver(cfg, solver_opts=dict(opts), **kw).solve(
+            alpha, seed=3)
+        assert r.status in (1, 5), (opts, r.status)
+        np.testing.assert_allclose(r.omega_re, base.omega_re, atol=5e-6,
+                                   err_msg=str(opts))
