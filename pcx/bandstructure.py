@@ -1096,6 +1096,41 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     err_index = []
     x_prev = None
     prev_idx = None
+
+    def _accept(result):
+        # Backstop: a MAXITER solve whose recomputed f64 residuals and
+        # spurious gate pass is physically valid — the c64 floor was
+        # reached without the FLOOR heuristic firing (possible on warm
+        # starts; see lobpcg_rs gate notes).
+        ok = result.status in (lob.Status.CONVERGED, lob.Status.FLOOR)
+        if (not ok and result.status == lob.Status.MAXITER
+                and result.report is not None
+                and not result.report.spurious):
+            ok = True
+        if not ok:
+            raise RuntimeError(
+                f"solver status {lob.Status(result.status).name}")
+        if result.report is not None and result.report.spurious:
+            raise RuntimeError("spurious eigenvalues")
+
+    def _commit(i, result):
+        nonlocal x_prev, prev_idx
+        lib.record(i, result.iterations, result.wall_time, result.omega_re)
+        logger.log_solve(RunLogger.from_result("bandgap_k", cfg,
+                                               alphas[i], result))
+        x_prev, prev_idx = result.x, i
+        if verbose:
+            print(f"Gap {i + 1}/{n_k} ({lattice}), "
+                  f"alpha/pi = {np.round(alphas[i] / np.pi, 3)}: "
+                  f"iters = {result.iterations}, "
+                  f"t = {result.wall_time:<6.2f}s")
+
+    def _is_device_error(e):
+        msg = str(e)
+        return any(tag in msg for tag in
+                   ("UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED",
+                    "device error", "RESOURCE_EXHAUSTED"))
+
     # Batched mode: consecutive index groups solved in one vmapped program
     # (throughput on one chip; the reference sweeps serially).
     groups = ([indices[i:i + k_batch] for i in range(0, len(indices), k_batch)]
@@ -1111,38 +1146,34 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                            and abs(grp[0] - prev_idx) <= 1) else None)
                 results = solver.solve_batch([alphas[i] for i in grp],
                                              x0s=x0s, seed=seed + grp[0])
+                for i, result in zip(grp, results):
+                    _accept(result)
+                    _commit(i, result)
             else:
                 i = grp[0]
-                x0 = (x_prev if (prev_idx is not None
-                                 and abs(i - prev_idx) <= 1) else None)
-                results = [solver.solve(alphas[i], x0=x0, seed=seed + i,
-                                        verbose=False)]
-            for i, result in zip(grp, results):
-                ok = result.status in (lob.Status.CONVERGED,
-                                       lob.Status.FLOOR)
-                # Backstop: a MAXITER solve whose recomputed f64 residuals
-                # and spurious gate pass is physically valid — the c64
-                # floor was reached without the FLOOR heuristic firing
-                # (possible on warm starts; see lobpcg_rs gate notes).
-                if (not ok and result.status == lob.Status.MAXITER
-                        and result.report is not None
-                        and not result.report.spurious):
-                    ok = True
-                if not ok:
-                    raise RuntimeError(
-                        f"solver status {lob.Status(result.status).name}")
-                if result.report is not None and result.report.spurious:
-                    raise RuntimeError("spurious eigenvalues")
-                lib.record(i, result.iterations, result.wall_time,
-                           result.omega_re)
-                logger.log_solve(RunLogger.from_result("bandgap_k", cfg,
-                                                       alphas[i], result))
-                x_prev, prev_idx = result.x, i
-                if verbose:
-                    print(f"Gap {i + 1}/{n_k} ({lattice}), "
-                          f"alpha/pi = {np.round(alphas[i] / np.pi, 3)}: "
-                          f"iters = {result.iterations}, "
-                          f"t = {result.wall_time:<6.2f}s")
+                warm = (x_prev is not None and prev_idx is not None
+                        and abs(i - prev_idx) <= 1)
+                try:
+                    result = solver.solve(alphas[i],
+                                          x0=(x_prev if warm else None),
+                                          seed=seed + i, verbose=False)
+                    _accept(result)
+                except Exception as e:
+                    # Immediate cold retry: the dominant numerical failure
+                    # mode is a warm-started solve converging onto a
+                    # spurious subspace (the sc_curv crossdof N=120 sweep
+                    # lost k=11 and k=20 this way while cold-started
+                    # neighbors passed).  One fresh-start attempt here
+                    # saves a whole supervisor resume round.
+                    if not warm or _is_device_error(e):
+                        raise
+                    print(f"{YELLOW}Warm-started k={i} failed ({e}); "
+                          f"retrying with a cold start{RESET}")
+                    result = solver.solve(alphas[i], x0=None,
+                                          seed=seed + i + 10007,
+                                          verbose=False)
+                    _accept(result)
+                _commit(i, result)
         except Exception as e:  # NaN, blowup, spurious, RR failure
             # Distinguish NUMERICAL failures (record [-1,-1] and continue —
             # the reference's containment, num_exp.py:467-477) from DEVICE /
@@ -1150,10 +1181,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
             # every subsequent solve errors instantly, so recording would
             # mass-fail the whole library.  Abort instead — the supervisor
             # (tools/run_sweep.py) restarts and resumes.
-            msg = str(e)
-            if any(tag in msg for tag in
-                   ("UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED",
-                    "device error", "RESOURCE_EXHAUSTED")):
+            if _is_device_error(e):
                 print(f"{RED}DEVICE ERROR at k-points {grp}: {e} — "
                       f"aborting sweep (resume will retry){RESET}")
                 raise

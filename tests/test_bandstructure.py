@@ -161,6 +161,48 @@ def test_bandgap_failure_taxonomy(tmp_path, monkeypatch):
     assert len(lib.pending_indices()) == 16  # device-error point NOT failed
 
 
+def test_bandgap_warm_failure_cold_retry(tmp_path, monkeypatch):
+    """A warm-started solve that fails numerically is retried once with a
+    cold start before being recorded as [-1,-1] (the sc_curv crossdof
+    N=120 sweep lost k=11/20 to warm-start spurious convergence while
+    cold-started neighbors passed)."""
+    calls = []
+
+    class FakeResult:
+        status = 1  # Status.CONVERGED
+        iterations = 7
+        wall_time = 0.5
+        omega_re = np.arange(4) * 0.1
+        report = None
+        x = np.ones((4, 4))
+        lambdas = omega_re
+
+    def fake_solve(self, alpha, x0=None, seed=0, validate_result=True,
+                   verbose=False):
+        calls.append(x0 is not None)
+        # every warm-started solve fails; cold starts succeed
+        if x0 is not None:
+            raise RuntimeError("spurious eigenvalues")
+        return FakeResult()
+
+    monkeypatch.setattr(bs.KPointSolver, "solve", fake_solve)
+    from pcx import metrics as _metrics
+    monkeypatch.setattr(_metrics.RunLogger, "from_result",
+                        staticmethod(lambda *a, **k: {}))
+    monkeypatch.setattr(_metrics.RunLogger, "log_solve",
+                        lambda self, rec: None)
+    err = bs.bandgap(n=8, lattice="sc_flat1", nev=4, gap=4,
+                     output_dir=str(tmp_path), verbose=False)
+    assert err == []                       # every point recovered
+    # point 0: cold; points 1..: warm attempt + cold retry
+    assert calls[0] is False
+    assert True in calls[1:] and calls.count(False) >= len(calls) // 2
+    lib = BandLibrary(str(tmp_path / "chiral/bandgap_sc_flat1.json"),
+                      "sc_flat1", 8, 16, 4)
+    assert lib.failed_indices() == []
+    assert lib.pending_indices() == []
+
+
 def test_bandgap_wnk_check(tmp_path, capsys):
     """Per-index library inspector (reference num_exp.py:254-276)."""
     path = str(tmp_path / "chiral/bandgap_sc_flat1.json")
