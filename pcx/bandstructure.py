@@ -79,6 +79,28 @@ def _dft3_fused(opts):
     return pk.dft3_pairs_auto
 
 
+def _chunked_rs(h_one, m, c):
+    """Column-chunked rs operator apply (bounds the apply's HBM working
+    set to ``c`` columns via lax.map).  Width-generic: under the solver's
+    ``w_cap`` compaction the W block arrives at width < m, so the chunk
+    is re-derived per (static) input width; non-divisible widths fall
+    back to the largest divisor <= c."""
+    if not (c and m > c):
+        return h_one
+
+    def h_func(v):
+        w = v[0].shape[0]
+        cw = max((d for d in range(1, min(c, w) + 1) if w % d == 0),
+                 default=0)
+        if not cw or w <= cw:
+            return h_one(v)
+        vc = tuple(a.reshape((w // cw, cw) + a.shape[1:]) for a in v)
+        out = jax.lax.map(h_one, vc)
+        return tuple(a.reshape((w,) + a.shape[2:]) for a in out)
+
+    return h_func
+
+
 class KPointSolver:
     """Reusable jitted solver for one (config, dielectric) across k-points."""
 
@@ -250,12 +272,13 @@ class KPointSolver:
 
         def run_core(d_a, b, inv, shift, x0, diel, dft):
             fusion_only = sorted(k for k in ("rr_gram", "rp_fuse",
-                                             "dft_fuse") if k in opts)
+                                             "dft_fuse", "w_cap",
+                                             "col_patience") if k in opts)
             if fusion_only:
                 raise ValueError(
-                    f"solver_opts {fusion_only} are accelerator-kernel "
-                    f"options of the pair-layout solver; they require "
-                    f"solver_impl='rs' (real_boundary=True on CPU)")
+                    f"solver_opts {fusion_only} are pair-layout-solver "
+                    f"options; they require solver_impl='rs' "
+                    f"(real_boundary=True on CPU)")
 
             def h_one(v):
                 return maxwell.ama_bb(v, d_a, b, diel, dft=dft) + shift * v
@@ -290,18 +313,15 @@ class KPointSolver:
                 return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
                                    shift=shift, dft3_fn=dft3_fn)
 
-            h_func = _chunked(
-                h_one,
-                lambda v: tuple(a.reshape((m // c, c) + a.shape[1:])
-                                for a in v),
-                lambda vc: tuple(a.reshape((m,) + a.shape[2:]) for a in vc))
+            h_func = _chunked_rs(h_one, m, c)
 
             def p_func(v):
                 return rs.h_block_p(v, inv_diag, inv_sd)
 
             rs_supported = ("ortho_passes", "refresh_every",
                             "floor_patience", "maxstagniter", "use_p",
-                            "rr_gram", "rp_fuse", "dft_fuse")
+                            "rr_gram", "rp_fuse", "dft_fuse",
+                            "w_cap", "col_patience")
             dropped = sorted(set(opts) - set(rs_supported))
             if dropped:
                 raise ValueError(
@@ -311,6 +331,10 @@ class KPointSolver:
             rs_opts = {k: v for k, v in opts.items()
                        if k in rs_supported
                        and k not in ("rp_fuse", "dft_fuse")}
+            if rs_opts.get("w_cap") == "auto":
+                # adaptive buckets need the segmented trampoline; the
+                # one-shot program runs full width
+                rs_opts["w_cap"] = None
             rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd)
                   if opts.get("rp_fuse", "xla") == "pallas" else None)
             res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
@@ -392,14 +416,7 @@ class KPointSolver:
                 return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
                                    shift=sh, dft3_fn=dft3_fn)
 
-            if c and m > c:
-                def h_func(v):
-                    vc = tuple(a.reshape((m // c, c) + a.shape[1:])
-                               for a in v)
-                    out = jax.lax.map(h_one, vc)
-                    return tuple(a.reshape((m,) + a.shape[2:]) for a in out)
-            else:
-                h_func = h_one
+            h_func = _chunked_rs(h_one, m, c)
 
             def p_func(v):
                 return rs.h_block_p(v, inv_diag, inv_sd)
@@ -410,8 +427,8 @@ class KPointSolver:
 
         return funcs
 
-    @lru_cache(maxsize=8)
-    def _jitted_seg(self, m: int):
+    @lru_cache(maxsize=16)
+    def _jitted_seg(self, m: int, w_cap: Optional[int] = None):
         """Segmented (trampolined) rs solve: three jitted programs — init,
         bounded run, finalize — so no single device program's EXECUTION
         exceeds the axon tunnel's ~60 s kill window (see __init__ docnote
@@ -420,7 +437,13 @@ class KPointSolver:
         and scalars, and the host reads back just the (it, status) pair.
         Semantics are identical to the one-shot run (the segment boundary
         is an extra ``it < it_stop`` conjunct on the same while_loop;
-        tests/test_lobpcg_rs.py pins segmented == one-shot on CPU)."""
+        tests/test_lobpcg_rs.py pins segmented == one-shot on CPU).
+
+        ``w_cap`` re-traces the SAME state pytree with the W/P blocks
+        physically capped at that width (solver_opts {"w_cap": "auto"}):
+        solve() reads the state's active-column count each segment and
+        re-enters through the matching bucket's run program.  jax.jit is
+        lazy, so unused bucket programs cost nothing."""
         assert self.impl == "rs" and self.dev_sym
         nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
                                       self.locking)
@@ -428,7 +451,7 @@ class KPointSolver:
         opts = self.solver_opts
         rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
                         "maxstagniter", "use_p", "rr_gram", "rp_fuse",
-                        "dft_fuse")
+                        "dft_fuse", "w_cap", "col_patience")
         dropped = sorted(set(opts) - set(rs_supported))
         if dropped:
             raise ValueError(
@@ -437,7 +460,10 @@ class KPointSolver:
                 f"solver_impl='complex' to use them")
         rs_opts = {k: v for k, v in opts.items()
                    if k in rs_supported
-                   and k not in ("rp_fuse", "dft_fuse")}
+                   and k not in ("rp_fuse", "dft_fuse", "w_cap")}
+        if w_cap is None:
+            ow = opts.get("w_cap")
+            w_cap = ow if isinstance(ow, int) else None
 
         chunk = self.apply_chunk
         c = max((d for d in range(1, min(chunk, m) + 1) if m % d == 0),
@@ -447,7 +473,8 @@ class KPointSolver:
         def parts_for(h_func, p_func, rdt, rp):
             return lob_rs.rs_solver_parts(
                 h_func, p_func, (m, 3, n, n, n), rdt, nev, tol=tol,
-                maxiter=maxiter, locking=locking, rp_fused=rp, **rs_opts)
+                maxiter=maxiter, locking=locking, rp_fused=rp,
+                w_cap=w_cap, **rs_opts)
 
         def init_core(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
             rdt = x0.real.dtype
@@ -732,8 +759,11 @@ class KPointSolver:
                                       self.locking)
         opts = self.solver_opts
         rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
-                        "maxstagniter", "use_p", "rr_gram")
+                        "maxstagniter", "use_p", "rr_gram", "w_cap",
+                        "col_patience")
         rs_opts = {k: v for k, v in opts.items() if k in rs_supported}
+        if not isinstance(rs_opts.get("w_cap"), (int, type(None))):
+            rs_opts["w_cap"] = None  # "auto" is a trampoline-only feature
 
         def one(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
             rdt = x0.real.dtype
@@ -778,9 +808,12 @@ class KPointSolver:
                                       self.locking)
         n = self.cfg.n
         rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
-                        "maxstagniter", "use_p", "rr_gram")
+                        "maxstagniter", "use_p", "rr_gram", "w_cap",
+                        "col_patience")
         rs_opts = {k: v for k, v in self.solver_opts.items()
                    if k in rs_supported}
+        if not isinstance(rs_opts.get("w_cap"), (int, type(None))):
+            rs_opts["w_cap"] = None  # "auto" is a trampoline-only feature
         funcs = self._rs_hp_builder(m, 0)
 
         def parts_for(h_func, p_func, rdt, rp):
@@ -984,17 +1017,28 @@ class KPointSolver:
                 # solver terminates (only (it, status) scalars come back
                 # per segment).
                 seg_init, seg_run, seg_fin = self._jitted_seg(m)
+                w_auto = self.solver_opts.get("w_cap") == "auto"
+                buckets = sorted({max(1, m // 4), max(1, m // 2), m})
                 t0 = time.time()
                 state = seg_init(*sym_args, x0, self.diel, self.dft)
                 it = 0
+                run_fn = seg_run
                 for _ in range(-(-self.maxiter // seg) + 2):
                     stop = jnp.asarray(min(it + seg, self.maxiter),
                                        jnp.int32)
-                    state = seg_run(*sym_args, state, self.diel,
-                                    self.dft, stop)
+                    state = run_fn(*sym_args, state, self.diel,
+                                   self.dft, stop)
                     st, it = int(state["status"]), int(state["it"])
                     if st != lob.Status.RUNNING or it >= self.maxiter:
                         break
+                    if w_auto:
+                        # Re-enter through the smallest bucket that holds
+                        # every active column (state carries over — the
+                        # pytree is w_cap-independent).
+                        n_act = int(state["n_act"])
+                        b = next(b for b in buckets if n_act <= b)
+                        run_fn = (seg_run if b >= m
+                                  else self._jitted_seg(m, b)[1])
                 res = seg_fin(state)
             else:
                 t0 = time.time()

@@ -371,3 +371,145 @@ def test_kpoint_solver_segmented_matches_oneshot():
     assert r_seg.status == r_one.status
     assert r_seg.iterations == r_one.iterations
     np.testing.assert_allclose(r_seg.omega_re, r_one.omega_re, atol=1e-8)
+
+
+def test_rs_w_cap_full_width_is_identical(rng):
+    """w_cap == m must emit the unchanged production trace (bitwise-equal
+    run: same status, iterations and Ritz values)."""
+    from pcx.solvers.lobpcg_rs import lobpcg_sep_rs
+    n, nev = 100, 5
+    a = _random_hpd(n, rng)
+    x0c = (rng.normal(size=(nev + 4, n))
+           + 1j * rng.normal(size=(nev + 4, n)))
+    ar, ai = jnp.asarray(a.real), jnp.asarray(a.imag)
+    h = lambda v: (v[0] @ ar.T - v[1] @ ai.T, v[0] @ ai.T + v[1] @ ar.T)
+    ident = lambda v: v
+    x0p = (jnp.asarray(x0c.real), jnp.asarray(x0c.imag))
+    base = lobpcg_sep_rs(h, ident, x0p, nev, tol=1e-8, maxiter=300)
+    capd = lobpcg_sep_rs(h, ident, x0p, nev, tol=1e-8, maxiter=300,
+                         w_cap=nev + 4)
+    assert int(capd.status) == int(base.status)
+    assert int(capd.iterations) == int(base.iterations)
+    np.testing.assert_array_equal(np.asarray(capd.lambdas),
+                                  np.asarray(base.lambdas))
+
+
+def test_rs_w_cap_compacted_converges(rng):
+    """W/P width capped below m still converges to the same eigenvalues
+    (more iterations, fewer FLOPs/iter) — the static-shape analog of the
+    reference's n_loc = m + 2*n_act compaction (paper_2/lobpcg.py:423).
+    Well-separated spectrum: capping below the ACTIVE count (which the
+    auto trampoline never does — it picks the smallest bucket >= n_act)
+    is the worst case, trading directions for iterations."""
+    from pcx.solvers.lobpcg_rs import lobpcg_sep_rs
+    n, nev = 100, 5
+    q, _ = np.linalg.qr(rng.normal(size=(n, n))
+                        + 1j * rng.normal(size=(n, n)))
+    lam = np.linspace(1.0, 50.0, n)
+    a = (q * lam) @ q.conj().T
+    want = np.sort(lam)[:nev]
+    x0c = (rng.normal(size=(nev + 4, n))
+           + 1j * rng.normal(size=(nev + 4, n)))
+    ar, ai = jnp.asarray(a.real), jnp.asarray(a.imag)
+    h = lambda v: (v[0] @ ar.T - v[1] @ ai.T, v[0] @ ai.T + v[1] @ ar.T)
+    ident = lambda v: v
+    x0p = (jnp.asarray(x0c.real), jnp.asarray(x0c.imag))
+    for wc in (4, 2):
+        res = lobpcg_sep_rs(h, ident, x0p, nev, tol=1e-8, maxiter=300,
+                            w_cap=wc)
+        assert int(res.status) == 1
+        np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                                   rtol=1e-6)
+
+
+def test_rs_parts_w_cap_bucket_switch(rng):
+    """The trampoline may re-enter run_to through a DIFFERENT w_cap trace
+    mid-solve (solver_opts {"w_cap": "auto"}): the state pytree is
+    w_cap-independent, so shrinking the bucket between segments must keep
+    the solve convergent and correct."""
+    from pcx.solvers.lobpcg_rs import rs_solver_parts
+    from pcx.solvers.lobpcg import Status
+    n, nev = 100, 5
+    m = nev + 4
+    a = _random_hpd(n, rng)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    x0c = (rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n)))
+    ar, ai = jnp.asarray(a.real), jnp.asarray(a.imag)
+    h = lambda v: (v[0] @ ar.T - v[1] @ ai.T, v[0] @ ai.T + v[1] @ ar.T)
+    ident = lambda v: v
+    x0p = (jnp.asarray(x0c.real), jnp.asarray(x0c.imag))
+
+    mk = lambda wc: rs_solver_parts(h, ident, x0p[0].shape, x0p[0].dtype,
+                                    nev, tol=1e-8, maxiter=400, w_cap=wc)
+    init, _, finalize = mk(m)
+    runs = {wc: mk(wc)[1] for wc in (m, m // 2, m // 4)}
+    state = init(x0p)
+    it, caps = 0, [m, m // 2, m // 4, m // 2, m]
+    for seg in range(80):
+        state = runs[caps[seg % len(caps)]](state, min(it + 6, 400))
+        it = int(state["it"])
+        if int(state["status"]) != Status.RUNNING or it >= 400:
+            break
+    res = finalize(state)
+    assert int(res.status) == Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                               rtol=1e-6)
+
+
+def test_rs_col_floor_locking_f32(rng):
+    """Per-column floor locking (col_patience > 0): with an unattainable
+    f32 tolerance the solve must still reach the attainable accuracy, end
+    in FLOOR, and the state's active count must drop below m as columns
+    hit their floors (the FLOP-savings signal for w_cap='auto')."""
+    from pcx.solvers.lobpcg_rs import rs_solver_parts
+    from pcx.solvers.lobpcg import Status
+    n, nev = 100, 5
+    m = nev + 4
+    a = _random_hpd(n, rng)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    x0c = (rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n)))
+    ar = jnp.asarray(a.real, jnp.float32)
+    ai = jnp.asarray(a.imag, jnp.float32)
+    h = lambda v: (v[0] @ ar.T - v[1] @ ai.T, v[0] @ ai.T + v[1] @ ar.T)
+    ident = lambda v: v
+    x0p = (jnp.asarray(x0c.real, jnp.float32),
+           jnp.asarray(x0c.imag, jnp.float32))
+
+    init, run_to, finalize = rs_solver_parts(
+        h, ident, x0p[0].shape, jnp.float32, nev, tol=1e-12, maxiter=200,
+        col_patience=5, floor_patience=8)
+    state = init(x0p)
+    it, min_act = 0, m
+    for _ in range(60):
+        state = run_to(state, min(it + 5, 200))
+        it = int(state["it"])
+        min_act = min(min_act, int(state["n_act"]))
+        if int(state["status"]) != Status.RUNNING or it >= 200:
+            break
+    res = finalize(state)
+    assert int(res.status) == Status.FLOOR
+    assert min_act < m            # some columns actually floor-locked
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                               rtol=2e-4)
+
+
+def test_kpoint_solver_w_cap_auto_matches_default():
+    """solver_opts {"w_cap": "auto", "col_patience": k} on the segmented
+    Maxwell path must reproduce the default-path frequencies: bucket
+    selection only ever removes directions of INACTIVE columns, so
+    physics is unchanged while W/P FLOPs shrink with locking."""
+    import numpy as np
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+
+    cfg = ProblemConfig(n=8, lattice="sc_flat1", nev=4)
+    kw = dict(dtype=jnp.complex128, solver_impl="rs", real_boundary=True,
+              refine=False)
+    alpha = np.array([np.pi / 2, 0.0, 0.0])
+    base = KPointSolver(cfg, segment_iters=5, **kw).solve(alpha, seed=3)
+    auto = KPointSolver(cfg, segment_iters=5,
+                        solver_opts={"w_cap": "auto", "col_patience": 6},
+                        **kw).solve(alpha, seed=3)
+    assert auto.status in (1, 5)
+    np.testing.assert_allclose(auto.omega_re, base.omega_re, atol=1e-7)
+    assert np.abs(auto.omega - auto.omega_re).max() < 1e-3

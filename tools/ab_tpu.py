@@ -73,6 +73,15 @@ VARIANTS = [
     ("gram_pallas", {"rr_gram": "pallas"}),
     ("all3", {"rr_gram": "pallas", "rp_fuse": "pallas",
               "dft_fuse": "pallas"}),
+    # Per-column floor locking + adaptive W/P width buckets (round 2):
+    # at the c64 floor no column ever reaches res < tol, so the
+    # reference-style tol locking never engages; col_patience locks a
+    # column at ITS attainable floor and w_cap="auto" converts the locked
+    # columns into smaller operator/ortho/RR shapes via the segmented
+    # trampoline's bucket re-entry (lobpcg_rs.rs_solver_parts docstring).
+    ("colfloor", {"col_patience": 6}),
+    ("colfloor_wauto", {"col_patience": 6, "w_cap": "auto"}),
+    ("colfloor_wauto_p3", {"col_patience": 3, "w_cap": "auto"}),
 ]
 
 

@@ -40,6 +40,13 @@ BASELINE = 49.20  # RTX-4090, runtime_sc_curv.json:14-19 (pack_cmp_150)
 
 VARIANTS = [
     ("xla9", {"rr_gram": "xla9"}),
+    # xla9 + a static W/P width cap: besides the Gram concats, each
+    # iteration materializes svqb temporaries of the full (16, D) W and P
+    # blocks (~1.3 GB each at N=150); w_cap=8 halves every W/P-sized
+    # temp for more iterations (test_rs_w_cap_compacted_converges), and
+    # col_patience lets columns lock at their c64 floor so the smaller
+    # bucket loses little in practice.
+    ("xla9_wcap8", {"rr_gram": "xla9", "w_cap": 8, "col_patience": 6}),
     ("gram_pallas", {"rr_gram": "pallas"}),
     ("xla9_nofuse", {"rr_gram": "xla9", "rp_fuse": "xla",
                      "dft_fuse": "xla"}),
