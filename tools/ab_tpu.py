@@ -82,6 +82,8 @@ VARIANTS = [
     ("colfloor", {"col_patience": 6}),
     ("colfloor_wauto", {"col_patience": 6, "w_cap": "auto"}),
     ("colfloor_wauto_p3", {"col_patience": 3, "w_cap": "auto"}),
+    # full stack: short global tail + per-column locking + width buckets
+    ("stack_p3", {"floor_patience": 3, "col_patience": 3, "w_cap": "auto"}),
 ]
 
 

@@ -145,7 +145,7 @@ if [ "$REM" -gt 2700 ] && [ ! -s bench_logs/ab_tpu4.jsonl ]; then
     echo "### $(date -u +%H:%M:%S) colfloor/w_cap A/B (timeout ${T}s)"
     timeout "$T" python -u tools/ab_tpu.py --n 120 --reps 2 --kbatch 0 \
         --out bench_logs/ab_tpu4.jsonl \
-        --only base colfloor colfloor_wauto colfloor_wauto_p3 \
+        --only base colfloor colfloor_wauto colfloor_wauto_p3 stack_p3 \
         2>&1 | tee -a bench_logs/campaign12.log
 fi
 echo "### campaign12 done $(date -u)"
