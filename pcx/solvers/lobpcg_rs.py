@@ -361,7 +361,8 @@ def rs_solver_parts(
                                   for i in range(3)])
                 t_im = jnp.block([[g[i][j][1] for j in range(3)]
                                   for i in range(3)])
-            else:
+            sf = hsf = None
+            if rr_gram == "xla":
                 # ONE stacked (3m, D) x (3m, D) Gram instead of 9 (m, m)
                 # calls: same FLOPs, 1/9 the dispatches, and 3x wider GEMMs
                 # on the MXU (profiled 2.5 ms vs 16 ms at N=96).
@@ -391,20 +392,35 @@ def rs_solver_parts(
             c_im = lax.dynamic_slice(c_all[1], (jnp.int32(0), n_dead),
                                      (nb, m))
 
-            cx = (c_re[:m], c_im[:m])
-            cw = (c_re[m:m + wc], c_im[m:m + wc])
-            cp = (c_re[m + wc:], c_im[m + wc:])
+            if sf is not None:
+                # Reuse the Gram's stacked [X|W|P] concatenations for the
+                # update mixes: x_new = c^T S (the full coefficient block —
+                # equals cx X + cw W + cp P) and p_new = c[m:]^T S[m:], as
+                # 4 wide GEMMs instead of 12 m-row ones (fewer dispatches,
+                # deeper MXU pipes; traffic identical — S is re-read either
+                # way).
+                c_tail = (c_re[m:], c_im[m:])
+                s_tail = (sf[0][m:], sf[1][m:])
+                hs_tail = (hsf[0][m:], hsf[1][m:])
+                p_new = rr.mix_pair(c_tail, s_tail)
+                hp_new = rr.mix_pair(c_tail, hs_tail)
+                x_new = rr.mix_pair((c_re, c_im), sf)
+                hx_new = rr.mix_pair((c_re, c_im), hsf)
+            else:
+                cx = (c_re[:m], c_im[:m])
+                cw = (c_re[m:m + wc], c_im[m:m + wc])
+                cp = (c_re[m + wc:], c_im[m + wc:])
 
-            pw = rr.mix_pair(cw, wf)
-            pp = rr.mix_pair(cp, pf)
-            p_new = (pw[0] + pp[0], pw[1] + pp[1])
-            hw = rr.mix_pair(cw, hwf)
-            hp2 = rr.mix_pair(cp, hpf)
-            hp_new = (hw[0] + hp2[0], hw[1] + hp2[1])
-            xc = rr.mix_pair(cx, xf)
-            x_new = (xc[0] + p_new[0], xc[1] + p_new[1])
-            hxc = rr.mix_pair(cx, hxf)
-            hx_new = (hxc[0] + hp_new[0], hxc[1] + hp_new[1])
+                pw = rr.mix_pair(cw, wf)
+                pp = rr.mix_pair(cp, pf)
+                p_new = (pw[0] + pp[0], pw[1] + pp[1])
+                hw = rr.mix_pair(cw, hwf)
+                hp2 = rr.mix_pair(cp, hpf)
+                hp_new = (hw[0] + hp2[0], hw[1] + hp2[1])
+                xc = rr.mix_pair(cx, xf)
+                x_new = (xc[0] + p_new[0], xc[1] + p_new[1])
+                hxc = rr.mix_pair(cx, hxf)
+                hx_new = (hxc[0] + hp_new[0], hxc[1] + hp_new[1])
 
             nan_rr = jnp.isnan(theta).any()
             new_status = jnp.where(nan_rr, Status.NAN,

@@ -268,7 +268,9 @@ def test_solver_lever_opts_preserve_frequencies():
     base = bs.KPointSolver(cfg, **kw).solve(alpha, seed=3)
     for opts in ({"refresh_every": 12}, {"refresh_every": 16},
                  {"ortho_passes": 1}, {"floor_patience": 3},
-                 {"rr_gram": "xla9"}):
+                 {"rr_gram": "xla9"}, {"col_patience": 6},
+                 {"col_patience": 3, "w_cap": "auto",
+                  "floor_patience": 3}):
         r = bs.KPointSolver(cfg, solver_opts=dict(opts), **kw).solve(
             alpha, seed=3)
         assert r.status in (1, 5), (opts, r.status)
