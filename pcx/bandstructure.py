@@ -90,9 +90,8 @@ def _chunked_rs(h_one, m, c):
 
     def h_func(v):
         w = v[0].shape[0]
-        cw = max((d for d in range(1, min(c, w) + 1) if w % d == 0),
-                 default=0)
-        if not cw or w <= cw:
+        cw = max(d for d in range(1, min(c, w) + 1) if w % d == 0)
+        if w <= cw:
             return h_one(v)
         vc = tuple(a.reshape((w // cw, cw) + a.shape[1:]) for a in v)
         out = jax.lax.map(h_one, vc)
@@ -331,7 +330,13 @@ class KPointSolver:
             rs_opts = {k: v for k, v in opts.items()
                        if k in rs_supported
                        and k not in ("rp_fuse", "dft_fuse")}
-            if rs_opts.get("w_cap") == "auto":
+            ow = rs_opts.get("w_cap")
+            if ow is not None and not (ow == "auto" or
+                                       (isinstance(ow, int)
+                                        and not isinstance(ow, bool))):
+                raise ValueError(f"solver_opts w_cap must be an int or "
+                                 f"'auto', got {ow!r}")
+            if ow == "auto":
                 # adaptive buckets need the segmented trampoline; the
                 # one-shot program runs full width
                 rs_opts["w_cap"] = None
@@ -437,7 +442,7 @@ class KPointSolver:
         and scalars, and the host reads back just the (it, status) pair.
         Semantics are identical to the one-shot run (the segment boundary
         is an extra ``it < it_stop`` conjunct on the same while_loop;
-        tests/test_lobpcg_rs.py pins segmented == one-shot on CPU).
+        tests/test_lobpcg.py pins segmented == one-shot on CPU).
 
         ``w_cap`` re-traces the SAME state pytree with the W/P blocks
         physically capped at that width (solver_opts {"w_cap": "auto"}):
@@ -463,7 +468,18 @@ class KPointSolver:
                    and k not in ("rp_fuse", "dft_fuse", "w_cap")}
         if w_cap is None:
             ow = opts.get("w_cap")
+            if ow is not None and not (ow == "auto" or
+                                       (isinstance(ow, int)
+                                        and not isinstance(ow, bool))):
+                raise ValueError(f"solver_opts w_cap must be an int or "
+                                 f"'auto', got {ow!r}")
             w_cap = ow if isinstance(ow, int) else None
+        if (w_cap is not None or opts.get("w_cap") == "auto") \
+                and opts.get("rr_gram") == "pallas":
+            # fail at construction, not at the first bucket re-entry
+            # minutes into a device solve
+            raise ValueError("w_cap (incl. 'auto') is not supported with "
+                             "rr_gram='pallas'")
 
         chunk = self.apply_chunk
         c = max((d for d in range(1, min(chunk, m) + 1) if m % d == 0),
@@ -762,8 +778,14 @@ class KPointSolver:
                         "maxstagniter", "use_p", "rr_gram", "w_cap",
                         "col_patience")
         rs_opts = {k: v for k, v in opts.items() if k in rs_supported}
-        if not isinstance(rs_opts.get("w_cap"), (int, type(None))):
-            rs_opts["w_cap"] = None  # "auto" is a trampoline-only feature
+        ow = rs_opts.get("w_cap")
+        if ow is not None and not (ow == "auto" or
+                                   (isinstance(ow, int)
+                                    and not isinstance(ow, bool))):
+            raise ValueError(f"solver_opts w_cap must be an int or 'auto', "
+                             f"got {ow!r}")
+        if ow == "auto":
+            rs_opts["w_cap"] = None  # adaptive buckets are single-solve only
 
         def one(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
             rdt = x0.real.dtype
@@ -812,8 +834,14 @@ class KPointSolver:
                         "col_patience")
         rs_opts = {k: v for k, v in self.solver_opts.items()
                    if k in rs_supported}
-        if not isinstance(rs_opts.get("w_cap"), (int, type(None))):
-            rs_opts["w_cap"] = None  # "auto" is a trampoline-only feature
+        ow = rs_opts.get("w_cap")
+        if ow is not None and not (ow == "auto" or
+                                   (isinstance(ow, int)
+                                    and not isinstance(ow, bool))):
+            raise ValueError(f"solver_opts w_cap must be an int or 'auto', "
+                             f"got {ow!r}")
+        if ow == "auto":
+            rs_opts["w_cap"] = None  # adaptive buckets are single-solve only
         funcs = self._rs_hp_builder(m, 0)
 
         def parts_for(h_func, p_func, rdt, rp):

@@ -104,8 +104,8 @@ def rs_solver_parts(
     more than ``w_cap`` columns are active (e.g. a locked column regresses
     mid-segment), the overflow columns simply get no W/P direction this
     iteration — they stay in X, stay monitored, and the next segment
-    boundary re-expands the bucket.  At ``w_cap == m`` the current
-    production trace is emitted unchanged (no gather).
+    boundary re-expands the bucket.  At ``w_cap == m`` no gather is
+    emitted and the trace is identical to ``w_cap=None``.
 
     ``col_patience`` (static, default 0 = off) enables PER-COLUMN floor
     locking: a column whose own residual has not improved by 5% for

@@ -28,7 +28,8 @@ sleep 160   # device release
 
 remaining() { echo $(( DEADLINE - $(date +%s) )); }
 
-N150_OPTS=$(python - <<'EOF'
+n150_opts() {
+    python - <<'EOF'
 import json
 try:
     for line in open("bench_logs/bench_matrix.jsonl"):
@@ -40,7 +41,19 @@ try:
 except FileNotFoundError:
     pass
 EOF
-)
+}
+
+# campaign11's single bisect attempt may have been burnt on the outage —
+# retry once here so the gated N=150 library item stays reachable
+if ! grep -q sc_curv_chiral_150 bench_logs/bench_matrix.jsonl 2>/dev/null \
+        && [ ! -f bench_logs/.c12_bisect_done ] \
+        && [ "$(remaining)" -gt 7200 ]; then
+    echo "### $(date -u +%H:%M:%S) c12 N=150 compile bisect retry"
+    timeout 3600 python -u tools/tpu_n150_bisect.py \
+        2>&1 | tee -a bench_logs/n150_bisect.log
+    touch bench_logs/.c12_bisect_done
+    sleep 160
+fi
 
 next_incomplete() {  # prints "N LAT DIEL EPS" or nothing
     N150_READY=$1 python - <<'EOF'
@@ -123,7 +136,7 @@ while true; do
     T=$REM; [ "$T" -gt 10800 ] && T=10800
     SUF=""; [ "$EPS" != "0" ] && SUF="$EPS"
     EXTRA=""
-    [ "$N" = "150" ] && EXTRA="$N150_OPTS"
+    [ "$N" = "150" ] && EXTRA="$(n150_opts)"
     LOG="bench_logs/sweep_${LAT}${N}_${DIEL}${SUF}_c12.log"
     echo "### $(date -u +%H:%M:%S) c12 sweep $LAT N=$N $DIEL eps$EPS attempt=$CNT (timeout ${T}s)" | tee -a "$LOG"
     timeout "$T" python -u tools/run_sweep.py --n "$N" --lattice "$LAT" \

@@ -40,7 +40,11 @@ def main(n=64, nev=4, tol=1e-6, maxiter=400):
 
     alpha = np.array([np.pi, 0.0, 0.0])
     cfg = ProblemConfig(n=n, lattice="sc_curv", diel_type="chiral", nev=nev)
-    single = KPointSolver(cfg, dtype=jnp.complex128)
+    # same tol/maxiter as the sharded solve below, so the recorded
+    # iteration/time columns are apples-to-apples (the eigenvalue
+    # agreement is the evidence either way)
+    single = KPointSolver(cfg, dtype=jnp.complex128, tol=tol,
+                          maxiter=maxiter)
     d_a, b, inv, shift = single.symbols_for(alpha)
     x0 = maxwell.random_block(jax.random.PRNGKey(0), n, nev + 2,
                               jnp.complex128)
