@@ -276,3 +276,46 @@ def test_solver_lever_opts_preserve_frequencies():
         assert r.status in (1, 5), (opts, r.status)
         np.testing.assert_allclose(r.omega_re, base.omega_re, atol=5e-6,
                                    err_msg=str(opts))
+
+
+def test_committed_libraries_match_reference_goldens():
+    """Every reference-resolution band library committed under output_c64/
+    must match the reference's committed golden (paper_2/output/...) on
+    all computed k-points: the executable form of the golden-parity claim
+    (pure JSON compare, no solver).  Deviations sit at the c64-solve +
+    discretization-difference scale (observed max 3.5e-3, BENCH_NOTES);
+    a spurious mode would deviate >1e-2."""
+    import glob
+    import json
+    import os
+
+    ref_root = "/root/reference/paper_2/output"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    libs = sorted(glob.glob(os.path.join(repo, "output_c64/*/bandgap_*.json")))
+    assert libs, "no committed reference-resolution libraries"
+    checked = 0
+    for path in libs:
+        diel = os.path.basename(os.path.dirname(path))
+        ref_path = os.path.join(ref_root, diel, os.path.basename(path))
+        if not os.path.exists(ref_path):
+            continue
+        ours, ref = json.load(open(path)), json.load(open(ref_path))
+        for key in ours:
+            if not key.endswith("_frequencies") or key not in ref:
+                continue
+            a = np.array(ours[key], float)
+            b = np.array(ref[key], float)
+            if a.shape != b.shape:
+                continue
+            it_key = key.replace("_frequencies", "_iterations")
+            its = np.array(ours[it_key])
+            computed = its[:, 0] > 0          # solved rows only
+            mask = (computed[:, None] & ~np.isnan(b) & (b >= 0)
+                    & ~np.isnan(a) & (a >= 0))
+            if not mask.any():
+                continue
+            dev = np.abs(a - b)[mask].max()
+            assert dev < 8e-3, (path, key, dev)
+            checked += 1
+    # the two libraries completed this round must be present and compared
+    assert checked >= 2, checked
