@@ -300,18 +300,26 @@ def test_committed_libraries_match_reference_goldens():
     for path in libs:
         diel = os.path.basename(os.path.dirname(path))
         name = os.path.basename(path)
-        ref_path = os.path.join(ref_root, diel, name)
-        key_map = lambda k: k
-        if not os.path.exists(ref_path) and diel == "chiral":
-            for short, long_ in alias.items():
-                if short in name:
-                    ref_path = os.path.join(ref_root, diel,
-                                            name.replace(short, long_))
-                    key_map = lambda k, s=short, l=long_: k.replace(s, l)
-                    break
-        if not os.path.exists(ref_path):
+        # reference file may use the short (crossdof) or long
+        # (chiral/trivial) gyroid name regardless of the pcx short name
+        cand_names = [name] + [name.replace(s, l) for s, l in alias.items()
+                               if s in name]
+        ref_path = next((p for p in
+                         (os.path.join(ref_root, diel, c)
+                          for c in cand_names) if os.path.exists(p)), None)
+        if ref_path is None:
             continue
         ours, ref = json.load(open(path)), json.load(open(ref_path))
+
+        def key_map(k, ref=ref):
+            # reference keys always use the long gyroid names, even in
+            # files named with the short ones (e.g. crossdof bcc_dg0)
+            if k in ref:
+                return k
+            for s, l in alias.items():
+                if s in k and k.replace(s, l) in ref:
+                    return k.replace(s, l)
+            return k
         for key in ours:
             if not key.endswith("_frequencies") or key_map(key) not in ref:
                 continue

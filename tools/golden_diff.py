@@ -37,6 +37,26 @@ def load(path):
         return json.load(f)
 
 
+def reference_candidates(lattice, n, diel, eps_opt=None):
+    """(path, frequencies-key) candidates for a queue config, most
+    specific first.  eps_opt=0 also tries the suffix-less file: the
+    reference names its eps-preset-0 chiral libraries inconsistently
+    (bandgap_sc_flat1.json vs bandgap_sc_curv0.json)."""
+    long = REF_NAME_CHIRAL.get(lattice, lattice)
+    bases = [long] + ([lattice] if lattice != long else [])
+    if eps_opt is None:
+        sufs = ["", "0"]
+    elif eps_opt == 0:
+        sufs = ["0", ""]
+    else:
+        sufs = [str(eps_opt)]
+    # file names use either the short or long gyroid form depending on
+    # the diel dir; the frequencies key always uses the long form
+    return [(os.path.join(REF, diel, f"bandgap_{base}{suf}.json"),
+             f"{long}_{n}_frequencies")
+            for suf in sufs for base in bases]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lib", required=True, help="pcx band library JSON")
@@ -58,24 +78,21 @@ def main():
     iters = np.asarray(lib[f"{key}_iterations"], float)
 
     if args.ref_file:
-        ref_path = args.ref_file
+        ref_path, rkey_default = args.ref_file, None
     else:
-        base = args.lattice
-        if args.diel == "chiral":
-            base = REF_NAME_CHIRAL.get(base, base)
-        cands = ([str(args.eps_opt)] if args.eps_opt is not None
-                 else ["", "0"])
-        for suf in cands:
-            ref_path = os.path.join(REF, args.diel, f"bandgap_{base}{suf}.json")
-            if os.path.exists(ref_path):
+        ref_path = rkey_default = None
+        for path, key in reference_candidates(args.lattice, args.n,
+                                              args.diel, args.eps_opt):
+            if os.path.exists(path) and key in load(path):
+                ref_path, rkey_default = path, key
                 break
-        else:
-            sys.exit(f"no reference file found for {base} in {REF}/{args.diel}")
+        if ref_path is None:
+            sys.exit(f"no reference file found for {args.lattice} in "
+                     f"{REF}/{args.diel}")
     ref = load(ref_path)
-    rkey = args.ref_key
-    if rkey is None:
+    rkey = args.ref_key or rkey_default
+    if rkey is None:  # --ref-file without --ref-key: derive from basename
         rbase = os.path.basename(ref_path).replace("bandgap_", "").split(".")[0]
-        rbase = rbase.rstrip("01")
         rkey = f"{rbase}_{args.n}_frequencies"
     rfreq = np.asarray(ref[rkey], float)
 
