@@ -136,7 +136,15 @@ def main():
         # 2026-08-17: k-point 24 of a sweep blocked >20 min with no CPU).
         # Progress signal = the checkpoint JSON's mtime (rewritten after
         # every k-point).  Kill a stalled worker; the next round resumes.
-        last_mtime = None
+        # Seed last_mtime from the PRE-EXISTING checkpoint so a resume
+        # doesn't count the first stat() as progress — that collapsed the
+        # first-point grace to --stall and killed workers mid-warmup
+        # (degraded-tunnel warmup takes up to ~20 min; observed 08:05-08:21
+        # UTC Aug 18: four 915 s stall-kills in a row on resume).
+        try:
+            last_mtime = os.path.getmtime(path)
+        except OSError:
+            last_mtime = None
         deadline = t0 + args.stall_grace
         stalled = False
         while p.poll() is None:
@@ -149,8 +157,8 @@ def main():
                 last_mtime = mt
                 deadline = time.time() + args.stall
             if time.time() > deadline:
-                print(f"# STALL: no checkpoint progress for "
-                      f"{args.stall if last_mtime else args.stall_grace}s "
+                print(f"# STALL: no checkpoint progress, "
+                      f"{int(time.time() - t0)}s into the round "
                       f"— killing worker", flush=True)
                 p.kill()
                 p.wait()
