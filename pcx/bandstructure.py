@@ -100,6 +100,47 @@ def _chunked_rs(h_one, m, c):
     return h_func
 
 
+_RS_CORE = ("ortho_passes", "refresh_every", "floor_patience",
+            "maxstagniter", "use_p", "rr_gram", "w_cap", "col_patience")
+_RS_FUSIONS = ("rp_fuse", "dft_fuse")
+
+
+def _filter_rs_opts(opts, *, fusions_ok=True, strip_w_cap=False,
+                    context=""):
+    """Validate solver_opts for the pair-layout solver; return the subset
+    forwarded to rs_solver_parts/lobpcg_sep_rs (the fusion keys are
+    consumed by the h/p builders, never forwarded).  Shared by the four
+    rs entry paths so the supported list cannot drift again; raises on
+    unknown keys everywhere (ADVICE r1: silent drops) and warns when a
+    path cannot honor a requested Pallas fusion."""
+    dropped = sorted(set(opts) - set(_RS_CORE) - set(_RS_FUSIONS))
+    if dropped:
+        raise ValueError(
+            f"solver_opts {dropped} are not supported by the pair-layout "
+            f"solver (solver_impl='rs'); pass solver_impl='complex' to "
+            f"use them")
+    if not fusions_ok:
+        ignored = sorted(k for k in _RS_FUSIONS
+                         if opts.get(k, "xla") not in ("xla", None))
+        if ignored:
+            print(f"{YELLOW}{context}: solver_opts {ignored} fall back to "
+                  f"the XLA path on this code path{RESET}")
+    rs_opts = {k: v for k, v in opts.items() if k in _RS_CORE}
+    ow = rs_opts.get("w_cap")
+    if ow is not None and not (ow == "auto" or
+                               (isinstance(ow, int)
+                                and not isinstance(ow, bool))):
+        raise ValueError(f"solver_opts w_cap must be an int or 'auto', "
+                         f"got {ow!r}")
+    if strip_w_cap:
+        rs_opts.pop("w_cap", None)
+    elif ow == "auto":
+        # adaptive buckets need the segmented trampoline; one-shot and
+        # batched programs run full width
+        rs_opts["w_cap"] = None
+    return rs_opts
+
+
 class KPointSolver:
     """Reusable jitted solver for one (config, dielectric) across k-points."""
 
@@ -132,7 +173,7 @@ class KPointSolver:
         # the 0.5 GB full-block threshold activates at N>=110 (m=16),
         # covering the documented N>=112 fault regime.
         if apply_chunk is None and jax.default_backend() != "cpu":
-            col_bytes = 3 * cfg.n**3 * 8
+            col_bytes = 3 * cfg.n**3 * jnp.dtype(dtype).itemsize
             apply_chunk = max(1, int(192e6 // col_bytes)) \
                 if col_bytes * 16 > 0.5e9 else 0
         self.apply_chunk = int(apply_chunk or 0)
@@ -197,7 +238,10 @@ class KPointSolver:
             self.solver_opts.setdefault("dft_fuse", "pallas")
         use_matmul = (fft_mode == "matmul" or self.impl == "rs"
                       or (fft_mode == "auto" and self.rb))
-        self.dft = (self._place(dft_mod.dft_mats(cfg.n))
+        # Twiddles in the ITERATE dtype: c128 runs on the matmul-DFT path
+        # otherwise carry silently f32-truncated factors that cap apply
+        # accuracy at ~1e-7 (the f64 refine path builds its own c128 pair).
+        self.dft = (self._place(dft_mod.dft_mats(cfg.n, dtype=dtype))
                     if use_matmul else None)
         # f64 refine/validate path (rb mode): eigenvalues of the c64-iterated
         # subspace are re-extracted by an f64 real-split Rayleigh-Ritz, and
@@ -317,29 +361,7 @@ class KPointSolver:
             def p_func(v):
                 return rs.h_block_p(v, inv_diag, inv_sd)
 
-            rs_supported = ("ortho_passes", "refresh_every",
-                            "floor_patience", "maxstagniter", "use_p",
-                            "rr_gram", "rp_fuse", "dft_fuse",
-                            "w_cap", "col_patience")
-            dropped = sorted(set(opts) - set(rs_supported))
-            if dropped:
-                raise ValueError(
-                    f"solver_opts {dropped} are not supported by the "
-                    f"pair-layout solver (solver_impl='rs'); pass "
-                    f"solver_impl='complex' to use them")
-            rs_opts = {k: v for k, v in opts.items()
-                       if k in rs_supported
-                       and k not in ("rp_fuse", "dft_fuse")}
-            ow = rs_opts.get("w_cap")
-            if ow is not None and not (ow == "auto" or
-                                       (isinstance(ow, int)
-                                        and not isinstance(ow, bool))):
-                raise ValueError(f"solver_opts w_cap must be an int or "
-                                 f"'auto', got {ow!r}")
-            if ow == "auto":
-                # adaptive buckets need the segmented trampoline; the
-                # one-shot program runs full width
-                rs_opts["w_cap"] = None
+            rs_opts = _filter_rs_opts(opts)
             rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd)
                   if opts.get("rp_fuse", "xla") == "pallas" else None)
             res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
@@ -454,25 +476,9 @@ class KPointSolver:
                                       self.locking)
         n = self.cfg.n
         opts = self.solver_opts
-        rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
-                        "maxstagniter", "use_p", "rr_gram", "rp_fuse",
-                        "dft_fuse", "w_cap", "col_patience")
-        dropped = sorted(set(opts) - set(rs_supported))
-        if dropped:
-            raise ValueError(
-                f"solver_opts {dropped} are not supported by the "
-                f"pair-layout solver (solver_impl='rs'); pass "
-                f"solver_impl='complex' to use them")
-        rs_opts = {k: v for k, v in opts.items()
-                   if k in rs_supported
-                   and k not in ("rp_fuse", "dft_fuse", "w_cap")}
+        rs_opts = _filter_rs_opts(opts, strip_w_cap=True)
         if w_cap is None:
             ow = opts.get("w_cap")
-            if ow is not None and not (ow == "auto" or
-                                       (isinstance(ow, int)
-                                        and not isinstance(ow, bool))):
-                raise ValueError(f"solver_opts w_cap must be an int or "
-                                 f"'auto', got {ow!r}")
             w_cap = ow if isinstance(ow, int) else None
         if (w_cap is not None or opts.get("w_cap") == "auto") \
                 and opts.get("rr_gram") == "pallas":
@@ -774,18 +780,8 @@ class KPointSolver:
         nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
                                       self.locking)
         opts = self.solver_opts
-        rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
-                        "maxstagniter", "use_p", "rr_gram", "w_cap",
-                        "col_patience")
-        rs_opts = {k: v for k, v in opts.items() if k in rs_supported}
-        ow = rs_opts.get("w_cap")
-        if ow is not None and not (ow == "auto" or
-                                   (isinstance(ow, int)
-                                    and not isinstance(ow, bool))):
-            raise ValueError(f"solver_opts w_cap must be an int or 'auto', "
-                             f"got {ow!r}")
-        if ow == "auto":
-            rs_opts["w_cap"] = None  # adaptive buckets are single-solve only
+        rs_opts = _filter_rs_opts(opts, fusions_ok=False,
+                                  context="_jitted_batch_rs")
 
         def one(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
             rdt = x0.real.dtype
@@ -829,19 +825,7 @@ class KPointSolver:
         nev, tol, maxiter, locking = (self.cfg.nev, self.tol, self.maxiter,
                                       self.locking)
         n = self.cfg.n
-        rs_supported = ("ortho_passes", "refresh_every", "floor_patience",
-                        "maxstagniter", "use_p", "rr_gram", "w_cap",
-                        "col_patience")
-        rs_opts = {k: v for k, v in self.solver_opts.items()
-                   if k in rs_supported}
-        ow = rs_opts.get("w_cap")
-        if ow is not None and not (ow == "auto" or
-                                   (isinstance(ow, int)
-                                    and not isinstance(ow, bool))):
-            raise ValueError(f"solver_opts w_cap must be an int or 'auto', "
-                             f"got {ow!r}")
-        if ow == "auto":
-            rs_opts["w_cap"] = None  # adaptive buckets are single-solve only
+        rs_opts = _filter_rs_opts(self.solver_opts)
         funcs = self._rs_hp_builder(m, 0)
 
         def parts_for(h_func, p_func, rdt, rp):
@@ -1092,6 +1076,11 @@ class KPointSolver:
                 omega, omega_re = report.omega_pnt, report.omega_re
             elif validate_result:
                 if self.dev_sym:
+                    # refine=False on the dev_sym path: stats need the
+                    # complex d_a, so this rebuilds ~(3,N,N,N) symbols on
+                    # the HOST and uploads them — acceptable only because
+                    # every production accelerator config runs refine=True
+                    # (device-built f64 validation) and never reaches here.
                     d_a = self.symbols_for(alpha)[0]
                 lam_pen = lambdas - (shift if shift > 0 else 0.0)
                 lam_re, res_nrm = stats(
@@ -1185,8 +1174,11 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
         if result.report is not None and result.report.spurious:
             raise RuntimeError("spurious eigenvalues")
 
+    committed_grp = []  # members of the CURRENT group already recorded
+
     def _commit(i, result):
         nonlocal x_prev, prev_idx
+        committed_grp.append(i)
         lib.record(i, result.iterations, result.wall_time, result.omega_re)
         logger.log_solve(RunLogger.from_result("bandgap_k", cfg,
                                                alphas[i], result))
@@ -1208,6 +1200,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     groups = ([indices[i:i + k_batch] for i in range(0, len(indices), k_batch)]
               if k_batch > 1 else [[i] for i in indices])
     for grp in groups:
+        committed_grp.clear()
         try:
             if len(grp) > 1:
                 # Warm start every member of the group from the nearest
@@ -1259,6 +1252,8 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                 raise
             print(f"{RED}WARNING: Error at k-points {grp}: {e}{RESET}")
             for i in grp:
+                if i in committed_grp:
+                    continue  # already recorded successfully; keep it
                 err_index.append(i)
                 lib.record(i, -1, -1, None)
             x_prev, prev_idx = None, None

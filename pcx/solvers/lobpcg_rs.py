@@ -301,11 +301,15 @@ def rs_solver_parts(
             active = active_mask
             xf, hxf = s["x"], s["hx"]
 
-            # w_cap compaction: gather the first wc active columns (stable
-            # order) of the residual/P blocks; locked overflow columns get
+            # w_cap compaction: gather the wc highest-residual ACTIVE
+            # columns of the residual/P blocks; overflow/locked columns get
             # no W/P direction this iteration but stay in X and monitored.
+            # Residual priority (not index order): with a fixed int cap and
+            # n_act > wc, stable index order would starve the same trailing
+            # active columns forever — under residual order a starved
+            # column's stuck-high residual reclaims a slot next iteration.
             if wc < m:
-                idx = jnp.argsort(1.0 - active, stable=True)[:wc]
+                idx = jnp.argsort(-(active * res), stable=True)[:wc]
                 sel = active[idx]
                 gather = lambda pr: (pr[0][idx], pr[1][idx])
             else:
@@ -355,8 +359,21 @@ def rs_solver_parts(
                 # (bench_logs/bench_matrix.log, sc_curv_chiral_150).
                 bases, hbases = (xf, wf, pf), (hxf, hwf, hpf)
                 ch = _divisor_chunk(xf[0].shape[1])
-                g = [[rr.gram_f64_p(a, hb, chunk=ch, axis_name=reduce_axis)
-                      for hb in hbases] for a in bases]
+                # Hermitian structure: G[j][i] = G[i][j]^H (exact up to the
+                # stored-HX drift the later symmetrization absorbs either
+                # way), so compute the 6 upper blocks and mirror the 3
+                # lower ones — 1/3 less HBM traffic in exactly the
+                # memory-bound regime xla9 exists for (N=150).
+                g = [[None] * 3 for _ in range(3)]
+                for i in range(3):
+                    for j in range(3):
+                        if j < i:
+                            re_u, im_u = g[j][i]
+                            g[i][j] = (re_u.T, -im_u.T)
+                        else:
+                            g[i][j] = rr.gram_f64_p(bases[i], hbases[j],
+                                                    chunk=ch,
+                                                    axis_name=reduce_axis)
                 t_re = jnp.block([[g[i][j][0] for j in range(3)]
                                   for i in range(3)])
                 t_im = jnp.block([[g[i][j][1] for j in range(3)]
