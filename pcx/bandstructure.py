@@ -414,13 +414,17 @@ class KPointSolver:
             run, stats = jax.jit(core), jax.jit(stats_core)
         return run, stats
 
-    def _rs_hp_builder(self, m: int, c: int):
+    def _rs_hp_builder(self, m: int, c: int, fusions: bool = True):
         """Traced builder of the rs (h_func, p_func, rp_fused) triple from
         device-built symbols — exactly the run_core_rs_dev prologue in
         _jitted, shared by the segmented single and batched paths.  ``c``
         is the column-chunk divisor (0 = unchunked); rp_fused is None
-        unless solver_opts["rp_fuse"] == "pallas"."""
-        rp_mode = self.solver_opts.get("rp_fuse", "xla")
+        unless solver_opts["rp_fuse"] == "pallas".  ``fusions=False``
+        forces the XLA path regardless of opts (the plain vmapped batch
+        cannot run the per-solve Pallas programs)."""
+        rp_mode = self.solver_opts.get("rp_fuse", "xla") if fusions \
+            else "xla"
+        fusion_opts = self.solver_opts if fusions else {}
 
         def funcs(d1, d0, ct, alpha, pnt, shift, rdt, diel, dft):
             d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
@@ -433,7 +437,7 @@ class KPointSolver:
             sh = shift.astype(rdt)
             wf = (dft.fwd.real, dft.fwd.imag)
             wi = (dft.inv.real, dft.inv.imag)
-            dft3_fn = _dft3_fused(self.solver_opts)
+            dft3_fn = _dft3_fused(fusion_opts)
             if dft3_fn is not None and rdt != jnp.float32:
                 raise ValueError("dft_fuse='pallas' supports the complex64 "
                                  "production path only (the kernel computes "
@@ -783,27 +787,14 @@ class KPointSolver:
         rs_opts = _filter_rs_opts(opts, fusions_ok=False,
                                   context="_jitted_batch_rs")
 
+        funcs = self._rs_hp_builder(m, 0, fusions=False)
+
         def one(d1, d0, ct, alpha, pnt, shift, x0, diel, dft):
             rdt = x0.real.dtype
-            d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
-            b_diag64, b_sd64 = rs.penalty_p(d_a64, pnt)
-            i_diag64, i_sd64 = rs.inverse_penalized_p(d_a64, pnt, shift)
-            cast = lambda t: jax.tree_util.tree_map(
-                lambda a: a.astype(rdt), t)
-            d_ap, b_diag, b_sd = cast(d_a64), cast(b_diag64), cast(b_sd64)
-            i_diag, i_sd = cast(i_diag64), cast(i_sd64)
-            wf = (dft.fwd.real, dft.fwd.imag)
-            wi = (dft.inv.real, dft.inv.imag)
-            x0p = (x0.real, x0.imag)
-
-            def h_func(v):
-                return rs.ama_bb_p(v, d_ap, b_diag, b_sd, diel, wf, wi,
-                                   shift=shift.astype(rdt))
-
-            def p_func(v):
-                return rs.h_block_p(v, i_diag, i_sd)
-
-            res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
+            h_func, p_func, _rp = funcs(d1, d0, ct, alpha, pnt, shift,
+                                        rdt, diel, dft)
+            res = lob_rs.lobpcg_sep_rs(h_func, p_func,
+                                       (x0.real, x0.imag), nev, tol=tol,
                                        maxiter=maxiter, locking=locking,
                                        **rs_opts)
             return res._replace(x=jax.lax.complex(*res.x).astype(x0.dtype),
