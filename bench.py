@@ -76,6 +76,10 @@ def main():
                     help="measure mean per-k-point time over a warm-started "
                          "K-point path segment instead of one repeated point "
                          "(reference protocol: FCC N=120 sweep mean 23.12 s)")
+    ap.add_argument("--solver-opt", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="extra KPointSolver solver_opts entry (repeatable), "
+                         "e.g. --solver-opt floor_patience=3")
     ap.add_argument("--inner", action="store_true",
                     help="run the benchmark directly (no watchdog wrapper)")
     ap.add_argument("--fallback-tag", action="store_true",
@@ -133,9 +137,20 @@ def main():
     # protocol of the reference runtime table).
     alpha = np.array([np.pi, 0.0, 0.0])
 
+    def _coerce(kv):
+        k, _, v = kv.partition("=")
+        for cast in (int, float):
+            try:
+                return k, cast(v)
+            except ValueError:
+                pass
+        return k, v
+
+    solver_opts = dict(_coerce(kv) for kv in args.solver_opt) or None
+
     cfg = ProblemConfig(n=args.n, lattice=args.lattice, diel_type=args.diel,
                         nev=args.nev)
-    solver = KPointSolver(cfg, dtype=dtype)
+    solver = KPointSolver(cfg, dtype=dtype, solver_opts=solver_opts)
 
     # Warm-up: compile + one full solve (not timed).
     r = solver.solve(alpha, seed=0, validate_result=False)
