@@ -422,6 +422,32 @@ def test_rs_w_cap_compacted_converges(rng):
                                    rtol=1e-6)
 
 
+def test_rs_w_cap_no_starvation_without_locking(rng):
+    """Anti-starvation regression: with locking OFF the active set never
+    shrinks, so a fixed w_cap < m must ROTATE its W/P slots across
+    columns (residual-priority selection) — stable index order would
+    hand the slots to columns 0..wc-1 forever and the rest would stall
+    far above tol."""
+    from pcx.solvers.lobpcg_rs import lobpcg_sep_rs
+    n, nev = 100, 4
+    q, _ = np.linalg.qr(rng.normal(size=(n, n))
+                        + 1j * rng.normal(size=(n, n)))
+    lam = np.linspace(1.0, 50.0, n)
+    a = (q * lam) @ q.conj().T
+    want = np.sort(lam)[:nev]
+    x0c = (rng.normal(size=(nev + 2, n))
+           + 1j * rng.normal(size=(nev + 2, n)))
+    ar, ai = jnp.asarray(a.real), jnp.asarray(a.imag)
+    h = lambda v: (v[0] @ ar.T - v[1] @ ai.T, v[0] @ ai.T + v[1] @ ar.T)
+    ident = lambda v: v
+    x0p = (jnp.asarray(x0c.real), jnp.asarray(x0c.imag))
+    res = lobpcg_sep_rs(h, ident, x0p, nev, tol=1e-8, maxiter=300,
+                        locking=False, w_cap=2)
+    assert int(res.status) == 1, int(res.status)
+    np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                               rtol=1e-6)
+
+
 def test_rs_parts_w_cap_bucket_switch(rng):
     """The trampoline may re-enter run_to through a DIFFERENT w_cap trace
     mid-solve (solver_opts {"w_cap": "auto"}): the state pytree is
