@@ -1,0 +1,252 @@
+#!/bin/bash
+# Campaign phase 15 (round-2 second wind): the driver restarted the
+# builder session ~12:16 UTC Aug 18 with a fresh ~12 h window.  The
+# 20:13 Aug 17 tunnel outage burnt campaigns 9-14 (last probe killed by
+# its own timeout ~12:03).  This phase owns the device until 23:40 UTC,
+# liveness-gated so a persistent outage cannot exhaust any job budget:
+#
+#   outer loop (until deadline):
+#     0. liveness = the N=32 solver-variant smoke (VERDICT r1 item 7's
+#        last leg; fastest useful program).  If it can't produce its
+#        jsonl the tunnel is still down -> sleep, retry outer.
+#     1. crossdof sc_curv N=120 recovery (57 pending + 2 failed — the
+#        highest-value incomplete library).
+#     2. N=150 compile bisect (the one open baseline-matrix row).
+#     3. colfloor/w_cap A/B at N=120 (ab_tpu4) — if stack_p3 validates
+#        clean it cuts the ~40% floor-detection tail from every
+#        subsequent sweep in this queue (CPU evidence: BENCH_NOTES
+#        iteration-tail table; frequencies pinned by test).
+#     4. remaining reference-library matrix by judged value, with
+#        PROGRESS-AWARE attempt counting: an attempt only burns budget
+#        if the checkpoint changed or failures were recorded; pure
+#        outage attempts fall back to the liveness probe instead.
+#
+# Never edit this file while the campaign runs (bash reads
+# incrementally); chain a new script instead.
+set -u
+cd /root/repo
+mkdir -p bench_logs
+
+DEADLINE=${CAMPAIGN15_DEADLINE:-1787096400}   # 23:40 UTC Aug 18
+MARGIN=1200                                   # device release + driver bench
+ATT=bench_logs/campaign15_attempts.txt
+touch "$ATT"
+OUTER=bench_logs/campaign15_outer.log
+
+remaining() { echo $(( DEADLINE - $(date +%s) - MARGIN )); }
+note() { echo "### $(date -u +%H:%M:%S) $*" | tee -a "$OUTER"; }
+
+lib_state() {  # hash of the library checkpoint (or "absent")
+    local p="$1"
+    [ -f "$p" ] && md5sum "$p" | cut -d' ' -f1 || echo absent
+}
+
+# Optional sweep speed levers, set after a clean ab_tpu4 (phase 3).
+SWEEP_EXTRA=""
+
+next_incomplete() {  # prints "N LAT DIEL EPS" or nothing
+    N150_READY=$1 python - <<'EOF'
+import json, os
+QUEUE = [
+    (120, "sc_curv",  "pseudochiral_crossdof", 0),
+    (120, "sc_curv",  "pseudochiral_trivial",  0),
+    (120, "bcc_sg",   "chiral",                0),
+    (120, "bcc_dg",   "chiral",                0),
+    (120, "fcc",      "pseudochiral_crossdof", 0),
+    (120, "fcc",      "pseudochiral_trivial",  0),
+    (120, "bcc_sg",   "pseudochiral_crossdof", 0),
+    (120, "bcc_dg",   "pseudochiral_crossdof", 0),
+    (120, "bcc_sg",   "pseudochiral_trivial",  0),
+    (120, "bcc_dg",   "pseudochiral_trivial",  0),
+    (120, "sc_flat1", "chiral",                0),
+    (120, "sc_flat2", "chiral",                0),
+    (100, "sc_curv",  "chiral",                0),
+    (100, "fcc",      "chiral",                0),
+    (150, "sc_curv",  "chiral",                0),   # gated on bisect
+    (100, "sc_flat1", "chiral",                0),
+    (100, "sc_flat2", "chiral",                0),
+    (120, "sc_curv",  "pseudochiral_crossdof", 1),
+    (120, "sc_curv",  "pseudochiral_trivial",  1),
+    (120, "fcc",      "pseudochiral_crossdof", 1),
+    (120, "fcc",      "pseudochiral_trivial",  1),
+]
+attempts = {}
+for line in open("bench_logs/campaign15_attempts.txt"):
+    if line.strip():
+        key, cnt = line.split()
+        attempts[key] = int(cnt)
+n150_ready = os.environ.get("N150_READY") == "1"
+for n, lat, diel, eps in QUEUE:
+    if n == 150 and not n150_ready:
+        continue
+    key = f"{n}_{lat}_{diel}_{eps}"
+    att = attempts.get(key, 0)
+    if att >= 3:
+        continue
+    suf = str(eps) if eps else ""
+    path = f"output_c64/{diel}/bandgap_{lat}{suf}.json"
+    if not os.path.exists(path):
+        print(n, lat, diel, eps); break
+    lib = json.load(open(path))
+    it = lib.get(f"{lat}_{n}_iterations")
+    if it is None:
+        print(n, lat, diel, eps); break
+    pending = sum(1 for r in it if r[0] == 0)
+    failed = sum(1 for r in it if r[0] == -1)
+    if pending == 0 and failed == 0:
+        continue                      # complete
+    if pending == 0 and failed > 0 and att >= 2:
+        continue                      # deterministic per-k fault: give up
+    print(n, lat, diel, eps); break
+EOF
+}
+
+bump_attempt() {
+    local key="$1"
+    local old
+    old=$(awk -v k="$key" '$1==k{print $2}' "$ATT")
+    grep -v "^$key " "$ATT" > "$ATT.tmp" || true
+    mv "$ATT.tmp" "$ATT"
+    echo "$key $(( ${old:-0} + 1 ))" >> "$ATT"
+}
+
+maybe_enable_fast_levers() {
+    # After ab_tpu4: enable the tail levers for the rest of the queue iff
+    # every stack_p3 rep validated below the 1e-4 physical tol.
+    SWEEP_EXTRA=$(python - <<'EOF'
+import json, os
+path = "bench_logs/ab_tpu4.jsonl"
+if os.path.exists(path):
+    recs = [json.loads(l) for l in open(path) if l.strip()]
+    p3 = [r for r in recs if r.get("variant") == "stack_p3"
+          and r.get("status") not in ("FAILED", "COMPILE_FAIL")]
+    vals = [r.get("validation") for r in p3 if r.get("validation") is not None]
+    if vals and all(v < 1e-4 for v in vals):
+        print("--solver-opt floor_patience=3 --solver-opt col_patience=3"
+              " --solver-opt w_cap=auto")
+EOF
+)
+    [ -n "$SWEEP_EXTRA" ] && note "fast levers ENABLED for queue sweeps: $SWEEP_EXTRA"
+}
+
+note "campaign15 start (deadline $DEADLINE, $(remaining)s usable)"
+
+while [ "$(remaining)" -gt 1800 ]; do
+
+    # --- 0. liveness probe == solver-variant smoke -----------------------
+    if [ ! -s bench_logs/tpu_smoke.jsonl ]; then
+        T=$(remaining); [ "$T" -gt 2400 ] && T=2400
+        note "smoke/liveness probe (timeout ${T}s)"
+        timeout "$T" python -u tools/tpu_smoke.py --n 32 --maxiter 300 \
+            --out bench_logs/tpu_smoke.jsonl \
+            2>&1 | tee -a bench_logs/campaign9.log
+        sleep 160
+        if [ ! -s bench_logs/tpu_smoke.jsonl ]; then
+            note "tunnel still down; sleeping 240s"
+            sleep 240
+            continue
+        fi
+        note "tunnel is LIVE (smoke produced records)"
+    fi
+
+    # --- 1. crossdof sc_curv recovery is simply the queue head (below) ---
+
+    # --- 2. N=150 compile bisect -----------------------------------------
+    if ! grep -q sc_curv_chiral_150 bench_logs/bench_matrix.jsonl 2>/dev/null \
+            && ! grep -q "^n150done" "$ATT" && [ "$(remaining)" -gt 4500 ]; then
+        note "N=150 compile bisect"
+        timeout 3600 python -u tools/tpu_n150_bisect.py \
+            2>&1 | tee -a bench_logs/n150_bisect.log
+        echo "n150done 1" >> "$ATT"
+        sleep 160
+    fi
+    N150_OPTS=$(python - <<'EOF'
+import json
+try:
+    for line in open("bench_logs/bench_matrix.jsonl"):
+        rec = json.loads(line)
+        if rec.get("row") == "sc_curv_chiral_150":
+            print(" ".join(f"--solver-opt {k}={v}"
+                           for k, v in rec.get("solver_opts", {}).items()))
+            break
+except FileNotFoundError:
+    pass
+EOF
+)
+
+    # --- 3. colfloor/w_cap A/B (once), then maybe speed up the queue ------
+    if [ ! -s bench_logs/ab_tpu4.jsonl ] && [ "$(remaining)" -gt 6000 ]; then
+        note "colfloor/w_cap A/B (ab_tpu4)"
+        timeout 4800 python -u tools/ab_tpu.py --n 120 --reps 2 --kbatch 0 \
+            --out bench_logs/ab_tpu4.jsonl \
+            --only base colfloor colfloor_wauto colfloor_wauto_p3 stack_p3 \
+            2>&1 | tee -a bench_logs/campaign8_outer.log
+        sleep 160
+    fi
+    maybe_enable_fast_levers
+
+    # --- 4. library matrix with progress-aware attempts -------------------
+    while true; do
+        REM=$(remaining)
+        if [ "$REM" -lt 2400 ]; then
+            note "${REM}s left — stopping sweeps"
+            break
+        fi
+        N150_READY=0
+        grep -q sc_curv_chiral_150 bench_logs/bench_matrix.jsonl 2>/dev/null \
+            && N150_READY=1
+        JOB=$(next_incomplete "$N150_READY")
+        if [ -z "$JOB" ]; then
+            note "queued libraries complete/exhausted"
+            break
+        fi
+        read -r N LAT DIEL EPS <<< "$JOB"
+        KEY="${N}_${LAT}_${DIEL}_${EPS}"
+        SUF=""; [ "$EPS" != "0" ] && SUF="$EPS"
+        LIB="output_c64/$DIEL/bandgap_${LAT}${SUF}.json"
+        BEFORE=$(lib_state "$LIB")
+        T=$REM; [ "$T" -gt 10800 ] && T=10800
+        EXTRA="$SWEEP_EXTRA"
+        [ "$N" = "150" ] && EXTRA="$EXTRA $N150_OPTS"
+        LOG="bench_logs/sweep_${LAT}${N}_${DIEL}${SUF}_c15.log"
+        note "c15 sweep $LAT N=$N $DIEL eps$EPS (timeout ${T}s)" | tee -a "$LOG"
+        timeout "$T" python -u tools/run_sweep.py --n "$N" --lattice "$LAT" \
+            --diel "$DIEL" --eps-opt "$EPS" --output output_c64 \
+            --max-rounds 8 --outage-budget 1800 $EXTRA \
+            2>&1 | tee -a "$LOG"
+        AFTER=$(lib_state "$LIB")
+        if [ "$AFTER" = "$BEFORE" ]; then
+            note "sweep $KEY made NO progress (outage?) — back to probe"
+            sleep 160
+            break   # re-enter liveness probe; do NOT burn the attempt
+        fi
+        bump_attempt "$KEY"
+        python -u tools/golden_diff.py \
+            --lib "$LIB" \
+            --lattice "$LAT" --n "$N" --diel "$DIEL" --eps-opt "$EPS" \
+            --png "bench_logs/bands_${LAT}${N}_${DIEL}${SUF}.png" \
+            2>&1 | tee -a "$LOG" || true
+        sleep 160
+    done
+
+    # --- 5. leftover: per-iteration lever A/B ------------------------------
+    REM=$(remaining)
+    if [ "$REM" -gt 4200 ] && [ ! -s bench_logs/ab_tpu3.jsonl ] \
+            && [ -z "$(next_incomplete 1)" ]; then
+        T=$(( REM - 600 )); [ "$T" -gt 7200 ] && T=7200
+        note "solver-lever A/B (ab_tpu3, timeout ${T}s)"
+        timeout "$T" python -u tools/ab_tpu.py --n 120 --reps 3 --kbatch 0 \
+            --out bench_logs/ab_tpu3.jsonl \
+            --only base no_fuse xla9 refresh12 refresh16 ortho1 patience3 \
+            2>&1 | tee -a bench_logs/campaign8_outer.log
+        sleep 160
+    fi
+
+    # Everything drained and deadline not reached: idle-wait so a late
+    # tunnel recovery can still pick up failed-point retries next pass.
+    if [ -z "$(next_incomplete 1)" ] && [ -s bench_logs/ab_tpu3.jsonl ]; then
+        note "all queue work drained; sleeping 600s"
+        sleep 600
+    fi
+done
+note "campaign15 done"
