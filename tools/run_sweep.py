@@ -18,13 +18,14 @@ with tools/golden_diff.py.
 """
 
 import argparse
-import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pcx.supervisor import SuperviseConfig, library_status, supervise  # noqa: E402
 
 WORKER = r"""
 import os, sys
@@ -63,17 +64,6 @@ def parse_opt(kv: str):
         except ValueError:
             pass
     return k, v
-
-
-def library_status(path, lattice, n):
-    if not os.path.exists(path):
-        return None, None
-    with open(path) as f:
-        lib = json.load(f)
-    it = lib.get(f"{lattice}_{n}_iterations", [])
-    pending = [i for i, r in enumerate(it) if r[0] == 0]
-    failed = [i for i, r in enumerate(it) if r[0] == -1]
-    return pending, failed
 
 
 def main():
@@ -120,77 +110,21 @@ def main():
                            k_batch=args.k_batch, metrics=args.metrics,
                            solver_opts=solver_opts)
 
-    # "Rounds" are PRODUCTIVE attempts: an attempt that changed nothing in
-    # the checkpoint (typically the backend refusing to initialize while
-    # the tunneled device recovers from a fault — observed outages of 1 h+)
-    # burns wall-clock but not the round budget, bounded instead by
-    # --outage-budget.  Otherwise an 8-round budget evaporates into a long
-    # outage without retrying a single k-point (observed 2026-08-17 20:13).
-    rnd = 0
-    outage_left = args.outage_budget
-    while rnd < args.max_rounds:
-        t0 = time.time()
-        state_before = library_status(path, args.lattice, args.n)
-        p = subprocess.Popen([sys.executable, "-u", "-c", worker], cwd=REPO)
-        # Stall watchdog: the tunnel can hang a device RPC forever (observed
-        # 2026-08-17: k-point 24 of a sweep blocked >20 min with no CPU).
-        # Progress signal = the checkpoint JSON's mtime (rewritten after
-        # every k-point).  Kill a stalled worker; the next round resumes.
-        # Seed last_mtime from the PRE-EXISTING checkpoint so a resume
-        # doesn't count the first stat() as progress — that collapsed the
-        # first-point grace to --stall and killed workers mid-warmup
-        # (degraded-tunnel warmup takes up to ~20 min; observed 08:05-08:21
-        # UTC Aug 18: four 915 s stall-kills in a row on resume).
-        try:
-            last_mtime = os.path.getmtime(path)
-        except OSError:
-            last_mtime = None
-        deadline = t0 + args.stall_grace
-        stalled = False
-        while p.poll() is None:
-            time.sleep(15)
-            try:
-                mt = os.path.getmtime(path)
-            except OSError:
-                mt = None
-            if mt is not None and mt != last_mtime:
-                last_mtime = mt
-                deadline = time.time() + args.stall
-            if time.time() > deadline:
-                print(f"# STALL: no checkpoint progress, "
-                      f"{int(time.time() - t0)}s into the round "
-                      f"— killing worker", flush=True)
-                p.kill()
-                p.wait()
-                stalled = True
-                break
-        rc = p.returncode if not stalled else "stall-kill"
-        pending, failed = library_status(path, args.lattice, args.n)
-        elapsed = time.time() - t0
-        productive = (pending, failed) != state_before
-        print(f"# round {rnd}: rc={rc}, {elapsed:.0f}s, "
-              f"pending={len(pending or [])}, failed={len(failed or [])}"
-              f"{'' if productive else ' [no-progress: outage?]'}",
-              flush=True)
-        if pending == [] and failed == []:
-            print(f"# COMPLETE: {path}")
-            return 0
-        if productive:
-            rnd += 1
-        else:
-            outage_left -= elapsed
-            if outage_left <= 0:
-                print(f"# OUTAGE BUDGET EXHAUSTED ({args.outage_budget}s of "
-                      f"no-progress attempts): pending={pending}, "
-                      f"failed={failed}", file=sys.stderr)
-                return 1
-        # Crash (device fault) or failures recorded: restart/resume.  Give
-        # the tunneled device time to release before reattaching (measured
-        # 3m40s worst case; premature reattach yields UNAVAILABLE errors).
-        time.sleep(150)
-    print(f"# INCOMPLETE after {args.max_rounds} rounds: "
-          f"pending={pending}, failed={failed}", file=sys.stderr)
-    return 1
+    # Supervision (round loop, stall watchdog, outage-vs-productive budget
+    # split) lives in pcx.supervisor — unit-tested with fake clocks; this
+    # tool only assembles the worker command line.
+    cfg = SuperviseConfig(max_rounds=args.max_rounds,
+                          outage_budget=args.outage_budget,
+                          stall=args.stall, stall_grace=args.stall_grace)
+    outcome = supervise(
+        lambda: subprocess.Popen([sys.executable, "-u", "-c", worker],
+                                 cwd=REPO),
+        path, args.lattice, args.n, cfg,
+        log=lambda msg: print(msg, flush=True))
+    if not outcome.ok:
+        print(f"# {outcome.status}: pending={outcome.pending}, "
+              f"failed={outcome.failed}", file=sys.stderr)
+    return 0 if outcome.ok else 1
 
 
 if __name__ == "__main__":
