@@ -101,7 +101,8 @@ def _chunked_rs(h_one, m, c):
 
 
 _RS_CORE = ("ortho_passes", "refresh_every", "floor_patience",
-            "maxstagniter", "use_p", "rr_gram", "w_cap", "col_patience")
+            "maxstagniter", "use_p", "rr_gram", "w_cap", "col_patience",
+            "lam_tol", "lam_patience")
 _RS_FUSIONS = ("rp_fuse", "dft_fuse")
 
 
@@ -316,7 +317,8 @@ class KPointSolver:
         def run_core(d_a, b, inv, shift, x0, diel, dft):
             fusion_only = sorted(k for k in ("rr_gram", "rp_fuse",
                                              "dft_fuse", "w_cap",
-                                             "col_patience") if k in opts)
+                                             "col_patience", "lam_tol",
+                                             "lam_patience") if k in opts)
             if fusion_only:
                 raise ValueError(
                     f"solver_opts {fusion_only} are pair-layout-solver "
@@ -1116,17 +1118,25 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
             dtype=jnp.complex128, tol: float = TOL, maxiter: int = MAXITER,
             nev: int = NEV, seed: int = 0, verbose: bool = True,
             metrics_path: Optional[str] = None, k_batch: int = 1,
-            solver_opts: Optional[dict] = None) -> list:
+            solver_opts: Optional[dict] = None,
+            solver_kw: Optional[dict] = None) -> list:
     """Full Brillouin-zone band sweep with per-k-point JSON checkpointing,
     resume, warm starts, and failure containment.
 
     Reference: bandgap, numerical_experiments.py:313-496.  Returns the list
     of failed indices.
+
+    ``solver_kw``: extra KPointSolver keyword arguments (e.g.
+    ``real_boundary``/``solver_impl``/``segment_iters``) — lets CPU tests
+    drive the sweep surface on the exact TPU production path (pair-layout
+    solver + real-boundary encoding), which the backend-auto defaults
+    would otherwise only select on an accelerator.
     """
     cfg = ProblemConfig(n=n, lattice=lattice, diel_type=diel_type,
                         eps_opt=eps_opt, nev=nev)
     solver = KPointSolver(cfg, dtype=dtype, tol=tol / cfg.scal**2,
-                          maxiter=maxiter, solver_opts=solver_opts)
+                          maxiter=maxiter, solver_opts=solver_opts,
+                          **(solver_kw or {}))
     alphas = lattices.k_path(lattice, gap=gap)
     n_k = alphas.shape[0]
 

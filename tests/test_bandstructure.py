@@ -270,7 +270,10 @@ def test_solver_lever_opts_preserve_frequencies():
                  {"ortho_passes": 1}, {"floor_patience": 3},
                  {"rr_gram": "xla9"}, {"col_patience": 6},
                  {"col_patience": 3, "w_cap": "auto",
-                  "floor_patience": 3}):
+                  "floor_patience": 3},
+                 {"lam_tol": 1e-9},
+                 {"lam_tol": 1e-9, "lam_patience": 3, "col_patience": 3,
+                  "w_cap": "auto", "floor_patience": 3}):
         r = bs.KPointSolver(cfg, solver_opts=dict(opts), **kw).solve(
             alpha, seed=3)
         assert r.status in (1, 5), (opts, r.status)

@@ -84,6 +84,14 @@ VARIANTS = [
     ("colfloor_wauto_p3", {"col_patience": 3, "w_cap": "auto"}),
     # full stack: short global tail + per-column locking + width buckets
     ("stack_p3", {"floor_patience": 3, "col_patience": 3, "w_cap": "auto"}),
+    # Ritz-movement stop (lobpcg_rs.rs_solver_parts docstring): eigenvalue
+    # error is O(res^2/gap), so the tracked frequencies stabilize many
+    # iterations before the residual floors — stop when they stop moving.
+    # 2e-6 sits just above the measured c64 Ritz jitter band (4e-7..1.6e-6
+    # per iteration, tools/iter_tail.py trace); 1e-7 never fires in c64.
+    ("lam2e6", {"lam_tol": 2e-6}),
+    ("stack_lam2e6", {"floor_patience": 3, "col_patience": 3,
+                      "w_cap": "auto", "lam_tol": 2e-6}),
 ]
 
 
