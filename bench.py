@@ -62,6 +62,41 @@ def _run_wrapped(timeout_s: int = 3600) -> int:
     return 1
 
 
+def _validated_fast_levers():
+    """Auto-adopt the termination-lever stack once the on-device A/B has
+    validated it (same gate as tools/campaign16.sh maybe_enable_fast_levers):
+    prefer the Ritz-movement stack (ab_tpu5 'stack_lam2e6', ~2x fewer
+    iterations on CPU A/B) when every rep validated < 1e-4, else the
+    patience stack (ab_tpu4 'stack_p3').  Returns a solver_opts dict or
+    None; rs-solver-only levers, so callers must skip this on CPU."""
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_logs")
+
+    def clean(recs, name):
+        v = [r for r in recs if r.get("variant") == name
+             and r.get("status") not in ("FAILED", "COMPILE_FAIL")
+             and "error" not in r]
+        vals = [r.get("validation") for r in v
+                if r.get("validation") is not None]
+        return bool(vals) and all(x < 1e-4 for x in vals)
+
+    for fname, lam_first in (("ab_tpu5.jsonl", True),
+                             ("ab_tpu4.jsonl", False)):
+        path = os.path.join(base, fname)
+        if not os.path.exists(path):
+            continue
+        try:
+            recs = [json.loads(ln) for ln in open(path) if ln.strip()]
+        except (OSError, ValueError):
+            continue
+        if lam_first and clean(recs, "stack_lam2e6"):
+            return {"lam_tol": 2e-6, "floor_patience": 3,
+                    "col_patience": 3, "w_cap": "auto"}
+        if clean(recs, "stack_p3"):
+            return {"floor_patience": 3, "col_patience": 3, "w_cap": "auto"}
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=120)
@@ -147,6 +182,11 @@ def main():
         return k, v
 
     solver_opts = dict(_coerce(kv) for kv in args.solver_opt) or None
+    if solver_opts is None and not args.cpu:
+        solver_opts = _validated_fast_levers()
+        if solver_opts:
+            print(f"# fast levers (validated on-device A/B): {solver_opts}",
+                  file=sys.stderr)
 
     cfg = ProblemConfig(n=args.n, lattice=args.lattice, diel_type=args.diel,
                         nev=args.nev)

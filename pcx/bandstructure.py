@@ -160,10 +160,25 @@ class KPointSolver:
         # Cold-start policy: "plane_wave" seeds with transverse plane waves
         # at the lowest vacuum frequencies (~1/3 fewer iterations than the
         # reference's uniform random start, maxwell.plane_wave_cols);
-        # "random" matches the reference (num_exp.py:66).
-        if x0_mode not in ("plane_wave", "random"):
+        # "random" matches the reference (num_exp.py:66); "coarse" (or
+        # "coarse:<nc>", default nc = n//2) solves the same k-point on a
+        # coarse grid and lifts the converged block by exact trigonometric
+        # interpolation (dft.upsample_mat) — a two-grid start for the cold
+        # points a warm-started sweep cannot cover (first point, retries,
+        # single-point benchmarks).
+        self._coarse_n = None
+        if isinstance(x0_mode, str) and x0_mode.startswith("coarse"):
+            _, _, nc = x0_mode.partition(":")
+            self._coarse_n = int(nc) if nc else max(8, cfg.n // 2)
+            if self._coarse_n >= cfg.n:
+                raise ValueError(f"coarse grid {self._coarse_n} must be "
+                                 f"smaller than n={cfg.n}")
+            x0_mode = "coarse"
+        if x0_mode not in ("plane_wave", "random", "coarse"):
             raise ValueError(f"unknown x0_mode {x0_mode!r}")
         self.x0_mode = x0_mode
+        self._solver_name = solver
+        self._coarse_cache = None
         # Column-chunked operator application: the matmul-DFT apply
         # materializes several block-sized temporaries (splits + 4 real
         # GEMM partials per axis); at N>=112, m=16 that pushes peak HBM
@@ -733,8 +748,43 @@ class KPointSolver:
             idx, amps, n, jitter_key=key)
         return jax.jit(boundary.real_boundary(gen) if self.rb else gen)
 
+    def _coarse(self) -> "KPointSolver":
+        """Lazily built coarse-grid twin for x0_mode='coarse' (same lattice,
+        dielectric type, solver implementation and levers; no f64 refine —
+        only the c64/c128 subspace is consumed as a start).  The coarse
+        solve stops on Ritz-value movement (lam_tol) well above the floor:
+        start quality saturates once the coarse frequencies stop moving."""
+        if self._coarse_cache is None:
+            opts = dict(self.solver_opts)
+            if self.impl == "rs":  # Ritz-movement stop is an rs-only lever
+                opts.setdefault("lam_tol", 1e-5)
+                opts.setdefault("lam_patience", 2)
+            self._coarse_cache = KPointSolver(
+                dataclasses.replace(self.cfg, n=self._coarse_n),
+                dtype=self.dtype, tol=self.tol, maxiter=self.maxiter,
+                solver=self._solver_name, solver_opts=opts,
+                real_boundary=self.rb, refine=False,
+                solver_impl=self.impl, x0_mode="plane_wave")
+        return self._coarse_cache
+
+    @lru_cache(maxsize=2)
+    def _upjit(self):
+        """Jitted trigonometric lift (m, 3, nc, nc, nc) -> (m, 3, n, n, n);
+        the (nc, n) interpolation matrix crosses as an argument."""
+        gen = lambda x, u: dft_mod.resample3(x, u)
+        return jax.jit(boundary.real_boundary(gen) if self.rb else gen)
+
     def _x0_cold(self, alpha, m: int, seed: int):
         """Cold-start block by self.x0_mode."""
+        if self.x0_mode == "coarse":
+            res = self._coarse().solve(alpha, seed=seed,
+                                       validate_result=False)
+            if int(res.status) in (lob.Status.NAN, lob.Status.BLOWUP):
+                return self._x0gen(m)(jax.random.PRNGKey(seed))
+            u = dft_mod.upsample_mat(self._coarse_n, self.cfg.n,
+                                     dtype=np.dtype(self.dtype))
+            x = self._upjit()(res.x, self._place(u))
+            return x if x.shape[0] == m else self._fit(x, m, seed)
         if self.x0_mode == "random":
             return self._x0gen(m)(jax.random.PRNGKey(seed))
         cfg = self.cfg

@@ -69,6 +69,44 @@ def dft3(x: jnp.ndarray, w: jnp.ndarray,
     return x
 
 
+def upsample_mat(nc: int, n: int, dtype=np.complex64) -> np.ndarray:
+    """(nc, n) trigonometric-interpolation matrix: contracting a periodic
+    signal sampled on an nc-grid with this matrix evaluates its truncated
+    Fourier series on the finer n-grid (zero-padded spectrum; the even-nc
+    Nyquist bin is split half/half onto +/- so real inputs stay real).
+    Used to lift converged coarse-grid eigenvector blocks into fine-grid
+    LOBPCG starts (KPointSolver x0_mode='coarse')."""
+    if n < nc:
+        raise ValueError(f"upsample requires n >= nc, got {nc} -> {n}")
+    fwd = np.exp(-2j * np.pi * np.outer(np.arange(nc), np.arange(nc)) / nc)
+    # P[k, k']: coarse frequency bin k -> fine frequency bin k'.
+    pad = np.zeros((nc, n), np.complex128)
+    h = nc // 2
+    for k in range(nc):
+        if k < h or nc % 2 and k == h:
+            pad[k, k] = 1.0
+        elif k > h:
+            pad[k, n - nc + k] = 1.0
+        elif n == nc:
+            pad[k, k] = 1.0
+        else:  # even-nc Nyquist: split to keep conjugate symmetry
+            pad[k, k] = 0.5
+            pad[k, n - h] = 0.5
+    g = np.exp(2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n)
+    u = (fwd @ pad @ g.T) / nc
+    return np.asarray(u, dtype=dtype)
+
+
+def resample3(x: jnp.ndarray, u: jnp.ndarray,
+              precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Apply the (n_in, n_out) resampling matrix ``u`` along the last three
+    axes of x: (..., nc, nc, nc) -> (..., n, n, n).  Same cyclic axis
+    contraction as dft3, so the axis order is restored."""
+    for _ in range(3):
+        x = _axis_dft(x, u, precision)
+    return x
+
+
 def make_fft_pair(mats: DFTMats, precision=lax.Precision.HIGHEST):
     """(fftn, ifftn) closures over the twiddle ARGUMENTS, drop-in for
     jnp.fft.fftn/ifftn over the last three axes."""

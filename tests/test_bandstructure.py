@@ -136,6 +136,27 @@ def test_plane_wave_cold_start_converges_and_saves_iterations():
     assert r_pw.iterations <= r_rnd.iterations
 
 
+def test_coarse_cold_start_matches_plane_wave():
+    """Two-grid cold start (x0_mode='coarse'): solve on a coarse grid,
+    lift the converged block by trigonometric interpolation, use it as the
+    fine-grid x0 — frequencies must match the plane-wave-started solve on
+    the production (rs, real-boundary) path."""
+    import jax.numpy as jnp
+    from pcx.config import ProblemConfig
+    cfg = ProblemConfig(n=12, lattice="sc_curv", nev=4)
+    alpha = np.array([np.pi, 0.3, 0.0])
+    kw = dict(dtype=jnp.complex128, solver_impl="rs", real_boundary=True,
+              refine=False)
+    r_pw = bs.KPointSolver(cfg, x0_mode="plane_wave", **kw).solve(
+        alpha, seed=3)
+    sc = bs.KPointSolver(cfg, x0_mode="coarse:6", **kw)
+    r_c = sc.solve(alpha, seed=3)
+    assert sc._coarse_cache is not None
+    assert sc._coarse_cache.cfg.n == 6
+    assert r_c.status in (1, 5)
+    np.testing.assert_allclose(r_c.omega_re, r_pw.omega_re, atol=1e-8)
+
+
 def test_bandgap_failure_taxonomy(tmp_path, monkeypatch):
     """Numerical failures record [-1,-1] and the sweep continues; device /
     infrastructure errors abort the sweep (a broken accelerator session

@@ -235,3 +235,40 @@ def test_plane_wave_scatter_matches_host_build():
         np.testing.assert_allclose(flat[i, :, idx[i]], amps[i], atol=1e-14)
         rest = np.delete(flat[i], idx[i], axis=1)
         assert np.abs(rest).max() == 0.0
+
+
+def test_fourier_upsample_exact_and_real_preserving():
+    """upsample_mat/resample3: exact trigonometric interpolation for
+    band-limited periodic fields (any nc -> n, odd and even), and real
+    inputs stay real (even-nc Nyquist split)."""
+    from pcx.operators import dft
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for nc, n in [(6, 9), (8, 12), (5, 10)]:
+        # random spectrum supported strictly inside the coarse band
+        spec = np.zeros((2, n, n, n), np.complex128)
+        lo = (nc - 1) // 2  # max safely representable |frequency|
+        for _ in range(20):
+            kx, ky, kz = rng.integers(-lo, lo + 1, size=3)
+            spec[:, kx, ky, kz] = rng.normal(size=2) + 1j * rng.normal(size=2)
+        fine = np.fft.ifftn(spec, axes=(1, 2, 3))
+        coarse = fine[:, :: n // nc, :: n // nc, :: n // nc] \
+            if n % nc == 0 else None
+        if coarse is None:
+            # non-integer ratio: sample the series directly on the nc grid
+            spec_c = np.zeros((2, nc, nc, nc), np.complex128)
+            for kx in range(-lo, lo + 1):
+                for ky in range(-lo, lo + 1):
+                    for kz in range(-lo, lo + 1):
+                        spec_c[:, kx, ky, kz] = spec[:, kx, ky, kz]
+            coarse = np.fft.ifftn(spec_c, axes=(1, 2, 3)) * (nc / n) ** 3
+        u = dft.upsample_mat(nc, n, dtype=np.complex128)
+        got = np.asarray(dft.resample3(jnp.asarray(coarse), jnp.asarray(u)))
+        np.testing.assert_allclose(got, fine, atol=1e-12)
+
+    # real in -> real out (Nyquist split keeps conjugate symmetry)
+    xr = rng.normal(size=(2, 8, 8, 8))
+    u = dft.upsample_mat(8, 20, dtype=np.complex128)
+    got = np.asarray(dft.resample3(jnp.asarray(xr + 0j), jnp.asarray(u)))
+    assert np.abs(got.imag).max() < 1e-12
