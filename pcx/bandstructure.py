@@ -1051,8 +1051,15 @@ class KPointSolver:
               verbose: bool = False) -> EigenResult:
         cfg = self.cfg
         m = self.block_width(alpha)
+        x0_wall = 0.0
         if x0 is None:
+            t_x0 = time.time()
             x0 = self._x0_cold(alpha, m, seed)
+            if self.x0_mode == "coarse":
+                # The two-grid start runs a full coarse solve: charge it to
+                # this solve's wall time so benchmarks stay honest
+                # (time-to-validated-frequencies from scratch).
+                x0_wall = time.time() - t_x0
         elif x0.shape[0] != m:
             x0 = self._fit(x0, m, seed)
 
@@ -1104,7 +1111,7 @@ class KPointSolver:
             res = run(d_a, b, inv, jnp.asarray(shift, self.rdt), x0,
                       self.diel, self.dft)
         res.lambdas.block_until_ready()
-        wall = time.time() - t0
+        wall = time.time() - t0 + x0_wall
 
         lambdas = np.asarray(res.lambdas)
         status = int(res.status)
