@@ -179,6 +179,7 @@ class KPointSolver:
         self.x0_mode = x0_mode
         self._solver_name = solver
         self._coarse_cache = None
+        self._kshard_cache = {}  # (tag, mesh) -> shard_map'd batch callable
         # Column-chunked operator application: the matmul-DFT apply
         # materializes several block-sized temporaries (splits + 4 real
         # GEMM partials per axis); at N>=112, m=16 that pushes peak HBM
@@ -913,13 +914,45 @@ class KPointSolver:
         bfin = jax.jit(jax.vmap(wrap(fin_one)))
         return binit, brun, bfin
 
+    def _kshard(self, tag, fn, mesh, in_specs, out_specs=None):
+        """shard_map an already-vmapped batch callable over the mesh "k"
+        axis: each device runs the vmapped solve on its own contiguous
+        slice of the k-group — data parallelism over independent k-points
+        (SURVEY.md section 2.4; the reference sweeps k serially,
+        numerical_experiments.py:418).  Cached per (tag, mesh) so the
+        outer jit's compilation cache holds across groups."""
+        key = (tag, mesh)
+        w = self._kshard_cache.get(key)
+        if w is None:
+            from jax.experimental.shard_map import shard_map
+            out_specs = (jax.sharding.PartitionSpec("k")
+                         if out_specs is None else out_specs)
+            w = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs, check_rep=False))
+            self._kshard_cache[key] = w
+        return w
+
     def solve_batch(self, alphas, x0s=None, seed: int = 0,
-                    validate_result: bool = True):
+                    validate_result: bool = True, mesh=None):
         """Solve a batch of k-points in one vmapped program.  All k-points
         must share the same block width (true along a path; the relaxation
-        ratio is constant, config.set_relaxation)."""
+        ratio is constant, config.set_relaxation).
+
+        ``mesh``: a jax Mesh with a "k" axis (pcx.parallel.mesh.make_mesh)
+        — the group is sharded over that axis and each device solves its
+        slice in lockstep (multi-chip DP over k-points).  A group whose
+        size is not a multiple of the axis is transparently padded by
+        repeating the last k-point; only the requested results return."""
         cfg = self.cfg
         alphas = [np.asarray(a, float) for a in alphas]
+        n_req = len(alphas)
+        if mesh is not None:
+            nk = int(mesh.shape["k"])
+            pad = (-n_req) % nk
+            if pad:
+                alphas = alphas + [alphas[-1]] * pad
+                if isinstance(x0s, (list, tuple)):
+                    x0s = list(x0s) + [x0s[-1]] * pad
         ms = {self.block_width(a) for a in alphas}
         if len(ms) != 1:
             raise ValueError(f"batch mixes block widths {ms}")
@@ -964,8 +997,18 @@ class KPointSolver:
                         jnp.asarray(np.asarray(
                             [sp[0] for sp in shifts_pnts], np.float64)))
             seg = self.segment_iters
+            pk = jax.sharding.PartitionSpec("k")
+            pr = jax.sharding.PartitionSpec()
             if seg > 0:
                 binit, brun, bfin = self._jitted_batch_seg(m, bsize)
+                if mesh is not None:
+                    sym_specs = (pr, pr, pr, pk, pk, pk)
+                    binit = self._kshard(("seg_init", m, bsize), binit, mesh,
+                                         sym_specs + (pk, pr, pr))
+                    brun = self._kshard(("seg_run", m, bsize), brun, mesh,
+                                        sym_specs + (pk, pr, pr, pr))
+                    bfin = self._kshard(("seg_fin", m, bsize), bfin, mesh,
+                                        (pk,))
                 state = binit(*sym_args, x0s, self.diel, self.dft)
                 it = 0
                 for _ in range(-(-self.maxiter // seg) + 2):
@@ -985,16 +1028,24 @@ class KPointSolver:
                 res = bfin(state)
             else:
                 run = self._jitted_batch_rs(m, bsize)
+                if mesh is not None:
+                    run = self._kshard(("rs", m, bsize), run, mesh,
+                                       (pr, pr, pr, pk, pk, pk, pk, pr, pr))
                 res = run(*sym_args, x0s, self.diel, self.dft)
         else:
             run = self._jitted_batch(m, bsize)
+            if mesh is not None:
+                pk = jax.sharding.PartitionSpec("k")
+                pr = jax.sharding.PartitionSpec()
+                run = self._kshard(("cplx", m, bsize), run, mesh,
+                                   (pk, pk, pk, pk, pk, pr, pr))
             res = run(d_a, b, inv, shifts, x0s, self.diel, self.dft)
         res.lambdas.block_until_ready()
         wall = time.time() - t0
 
         out = []
         _, stats = self._jitted(m)
-        for i, alpha in enumerate(alphas):
+        for i, alpha in enumerate(alphas[:n_req]):  # drop mesh padding
             lambdas = np.asarray(res.lambdas[i])
             status = int(res.status[i])
             report = None
@@ -1176,7 +1227,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
             nev: int = NEV, seed: int = 0, verbose: bool = True,
             metrics_path: Optional[str] = None, k_batch: int = 1,
             solver_opts: Optional[dict] = None,
-            solver_kw: Optional[dict] = None) -> list:
+            solver_kw: Optional[dict] = None, mesh=None) -> list:
     """Full Brillouin-zone band sweep with per-k-point JSON checkpointing,
     resume, warm starts, and failure containment.
 
@@ -1188,7 +1239,14 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     drive the sweep surface on the exact TPU production path (pair-layout
     solver + real-boundary encoding), which the backend-auto defaults
     would otherwise only select on an accelerator.
+
+    ``mesh``: jax Mesh with a "k" axis (pcx.parallel.mesh.make_mesh) —
+    index groups are sharded over the axis and solved one-per-device in
+    lockstep (multi-chip DP over the sweep).  ``k_batch`` defaults to the
+    axis size; checkpointing/validation/warm starts are unchanged.
     """
+    if mesh is not None and k_batch <= 1:
+        k_batch = int(mesh.shape["k"])
     cfg = ProblemConfig(n=n, lattice=lattice, diel_type=diel_type,
                         eps_opt=eps_opt, nev=nev)
     solver = KPointSolver(cfg, dtype=dtype, tol=tol / cfg.scal**2,
@@ -1268,7 +1326,8 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                        if (x_prev is not None and prev_idx is not None
                            and abs(grp[0] - prev_idx) <= 1) else None)
                 results = solver.solve_batch([alphas[i] for i in grp],
-                                             x0s=x0s, seed=seed + grp[0])
+                                             x0s=x0s, seed=seed + grp[0],
+                                             mesh=mesh)
                 for i, result in zip(grp, results):
                     _accept(result)
                     _commit(i, result)

@@ -282,3 +282,53 @@ def test_multihost_two_process_cpu(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"OK {i}" in out
+
+
+def test_solve_batch_k_mesh_matches_serial():
+    """Multi-device DP over k-points: KPointSolver.solve_batch(mesh=...)
+    shards a k-group over the mesh "k" axis (one solve per device, all
+    paths: complex, rs pair-layout, segmented rs) and must reproduce the
+    serial per-k frequencies — including a ragged group that the batch
+    transparently pads (SURVEY.md section 2.4 DP row)."""
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+    from pcx import lattices
+
+    cfg = ProblemConfig(n=8, lattice="sc_flat1", nev=4)
+    alphas = list(lattices.k_path("sc_flat1", gap=4)[1:5])
+    mesh = make_mesh(n_k=4, n_grid=1, devices=jax.devices()[:4])
+
+    for kw in ({}, dict(real_boundary=True, solver_impl="rs"),
+               dict(real_boundary=True, solver_impl="rs", segment_iters=5)):
+        s = KPointSolver(cfg, dtype=jnp.complex128, **kw)
+        serial = [s.solve(a, seed=0) for a in alphas]
+        batch = s.solve_batch(alphas, seed=0, mesh=mesh)
+        for r0, r1 in zip(serial, batch):
+            np.testing.assert_allclose(np.asarray(r1.omega_re),
+                                       np.asarray(r0.omega_re), atol=1e-8)
+        ragged = s.solve_batch(alphas[:3], seed=0, mesh=mesh)
+        assert len(ragged) == 3
+        for r0, r1 in zip(serial[:3], ragged):
+            np.testing.assert_allclose(np.asarray(r1.omega_re),
+                                       np.asarray(r0.omega_re), atol=1e-8)
+
+
+def test_bandgap_k_mesh_sweep(tmp_path):
+    """bandgap(mesh=...) — the full checkpointed sweep with k-groups
+    sharded one-per-device; the written library must match a serial sweep
+    record-for-record."""
+    from pcx.bandstructure import bandgap
+    import json
+
+    mesh = make_mesh(n_k=4, n_grid=1, devices=jax.devices()[:4])
+    kw = dict(n=8, lattice="sc_flat1", nev=4, gap=4, verbose=False)
+    err_m = bandgap(output_dir=str(tmp_path / "mesh"), mesh=mesh, **kw)
+    err_s = bandgap(output_dir=str(tmp_path / "serial"), **kw)
+    assert err_m == [] and err_s == []
+    fm = json.load(open(tmp_path / "mesh/chiral/bandgap_sc_flat1.json"))
+    fs = json.load(open(tmp_path / "serial/chiral/bandgap_sc_flat1.json"))
+    np.testing.assert_allclose(np.asarray(fm["sc_flat1_8_frequencies"]),
+                               np.asarray(fs["sc_flat1_8_frequencies"]),
+                               atol=1e-6)
+    its = np.asarray(fm["sc_flat1_8_iterations"])
+    assert (its[:, 0] > 0).all()
