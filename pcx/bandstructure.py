@@ -924,7 +924,7 @@ class KPointSolver:
         key = (tag, mesh)
         w = self._kshard_cache.get(key)
         if w is None:
-            from jax.experimental.shard_map import shard_map
+            from pcx.parallel.mesh import shard_map
             out_specs = (jax.sharding.PartitionSpec("k")
                          if out_specs is None else out_specs)
             w = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,

@@ -21,6 +21,22 @@ K_AXIS = "k"
 GRID_AXIS = "grid"
 
 
+def shard_map(f=None, *, mesh, in_specs, out_specs, check_rep=True):
+    """``jax.shard_map`` across the 0.8 API rename (the experimental
+    module is deprecated; ``check_rep`` became ``check_vma``).  Drop-in
+    for the old call shape — the single import site for the repo."""
+    if f is None:  # partial-application style: shard_map(mesh=...)(body)
+        import functools
+        return functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_rep=check_rep)
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_rep)
+    from jax.experimental.shard_map import shard_map as _sm
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=check_rep)
+
+
 def make_mesh(n_k: Optional[int] = None, n_grid: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """Mesh over ("k", "grid").  Defaults: all grid if n_grid given, else

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from pcx.parallel.mesh import shard_map
 
 from pcx.config import MAXITER, TOL
 from pcx.operators.blocks import a_block, h_block

@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from pcx.parallel.mesh import shard_map
 from functools import partial
 
 from pcx.parallel import fft as pfft
@@ -258,7 +258,7 @@ def test_multihost_two_process_cpu(tmp_path):
         mesh = make_multihost_mesh(n_grid=1)
         assert mesh.shape[K_AXIS] == 4
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from pcx.parallel.mesh import shard_map
         from functools import partial
         f = partial(shard_map, mesh=mesh, in_specs=P(K_AXIS),
                     out_specs=P())(lambda v: jax.lax.psum(v.sum(), K_AXIS))
