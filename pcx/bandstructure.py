@@ -914,7 +914,8 @@ class KPointSolver:
         bfin = jax.jit(jax.vmap(wrap(fin_one)))
         return binit, brun, bfin
 
-    def _kshard(self, tag, fn, mesh, in_specs, out_specs=None):
+    def _kshard(self, tag, fn, mesh, in_specs, out_specs=None,
+                donate=()):
         """shard_map an already-vmapped batch callable over the mesh "k"
         axis: each device runs the vmapped solve on its own contiguous
         slice of the k-group — data parallelism over independent k-points
@@ -928,7 +929,8 @@ class KPointSolver:
             out_specs = (jax.sharding.PartitionSpec("k")
                          if out_specs is None else out_specs)
             w = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
-                                  out_specs=out_specs, check_rep=False))
+                                  out_specs=out_specs, check_rep=False),
+                        donate_argnums=tuple(donate))
             self._kshard_cache[key] = w
         return w
 
@@ -972,12 +974,22 @@ class KPointSolver:
             d_a, b, inv = self._place((d_a_np, b_np, inv_np))
             shifts = jnp.asarray(
                 np.asarray([p[3] for p in packs], dtype=self.rdt))
+        x0_wall = 0.0
         if x0s is None:
+            t_x0 = time.time()
             blocks = [self._x0_cold(a, m, seed + i)
                       for i, a in enumerate(alphas)]
+            if self.x0_mode == "coarse":
+                # Same accounting as solve(): the two-grid start runs full
+                # coarse solves — charge them to this batch's wall time.
+                x0_wall = time.time() - t_x0
         elif isinstance(x0s, (list, tuple)):
             blocks = [self._fit(x, m, seed + i) if x.shape[0] != m else x
                       for i, x in enumerate(x0s)]
+        elif mesh is not None and len(alphas) != n_req:
+            raise ValueError(
+                "x0s must be a list/tuple (not a pre-stacked array) when a "
+                "mesh group needs padding — pass one block per k-point")
         else:
             blocks = None
         if blocks is not None:
@@ -1005,8 +1017,12 @@ class KPointSolver:
                     sym_specs = (pr, pr, pr, pk, pk, pk)
                     binit = self._kshard(("seg_init", m, bsize), binit, mesh,
                                          sym_specs + (pk, pr, pr))
+                    # donate the solver state (arg 6) like the inner
+                    # _jitted_batch_seg does — re-entries must not hold two
+                    # full state copies in HBM (peak is marginal at N>=112)
                     brun = self._kshard(("seg_run", m, bsize), brun, mesh,
-                                        sym_specs + (pk, pr, pr, pr))
+                                        sym_specs + (pk, pr, pr, pr),
+                                        donate=(6,))
                     bfin = self._kshard(("seg_fin", m, bsize), bfin, mesh,
                                         (pk,))
                 state = binit(*sym_args, x0s, self.diel, self.dft)
@@ -1041,7 +1057,7 @@ class KPointSolver:
                                    (pk, pk, pk, pk, pk, pr, pr))
             res = run(d_a, b, inv, shifts, x0s, self.diel, self.dft)
         res.lambdas.block_until_ready()
-        wall = time.time() - t0
+        wall = time.time() - t0 + x0_wall
 
         out = []
         _, stats = self._jitted(m)
@@ -1071,7 +1087,10 @@ class KPointSolver:
             out.append(EigenResult(
                 omega=omega, omega_re=omega_re, lambdas=lambdas,
                 x=res.x[i], iterations=int(res.iterations[i]),
-                wall_time=wall / bsize, status=status, report=report))
+                # Per-point share of REAL elapsed time: divide by the
+                # requested count so recorded walls sum to the batch
+                # wall even when mesh padding added throwaway lanes.
+                wall_time=wall / n_req, status=status, report=report))
         return out
 
     def validate_solution(self, alpha, result: "EigenResult",

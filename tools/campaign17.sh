@@ -5,7 +5,19 @@
 # queue/lever logic, attempts continue in campaign15's file.
 set -u
 PREV_PID=${CAMPAIGN16_PID:-22839}
-while kill -0 "$PREV_PID" 2>/dev/null; do sleep 60; done
+# Wait only while the pid BOTH exists and is still campaign16 (a recycled
+# pid must not park us forever; a wrong guess must not start us early --
+# fall through to a name scan in that case).
+while :; do
+    if grep -qa campaign16 "/proc/$PREV_PID/cmdline" 2>/dev/null; then
+        sleep 60; continue
+    fi
+    OTHER=$(ls /proc 2>/dev/null | while read -r p; do
+        [ -f "/proc/$p/cmdline" ] && grep -qa "tools/campaign16.sh" "/proc/$p/cmdline" 2>/dev/null && echo "$p" && break
+    done)
+    [ -n "$OTHER" ] && { PREV_PID=$OTHER; sleep 60; continue; }
+    break
+done
 cd /root/repo
 mkdir -p bench_logs
 
@@ -125,21 +137,29 @@ EOF
 
 note "campaign17 start (deadline $DEADLINE, $(remaining)s usable)"
 
+LIVE=0   # in-memory liveness; smoke-file EXISTENCE is not enough (it
+         # may predate this takeover) -- require growth from OUR probe,
+         # and re-probe after any no-progress sweep instead of burning a
+         # full run_sweep outage budget per cycle.
+smoke_size() { stat -c%s bench_logs/tpu_smoke.jsonl 2>/dev/null || echo 0; }
+
 while [ "$(remaining)" -gt 1800 ]; do
 
     # --- 0. liveness probe == solver-variant smoke -----------------------
-    if [ ! -s bench_logs/tpu_smoke.jsonl ]; then
+    if [ "$LIVE" != "1" ]; then
+        S0=$(smoke_size)
         T=$(remaining); [ "$T" -gt 2400 ] && T=2400
         note "smoke/liveness probe (timeout ${T}s)"
         timeout "$T" python -u tools/tpu_smoke.py --n 32 --maxiter 300 \
             --out bench_logs/tpu_smoke.jsonl \
             2>&1 | tee -a bench_logs/campaign9.log
         sleep 160
-        if [ ! -s bench_logs/tpu_smoke.jsonl ]; then
+        if [ "$(smoke_size)" -le "$S0" ]; then
             note "tunnel still down; sleeping 240s"
             sleep 240
             continue
         fi
+        LIVE=1
         note "tunnel is LIVE (smoke produced records)"
     fi
 
@@ -200,8 +220,8 @@ EOF
         T=$REM; [ "$T" -gt 10800 ] && T=10800
         EXTRA="$SWEEP_EXTRA"
         [ "$N" = "150" ] && EXTRA="$EXTRA $N150_OPTS"
-        LOG="bench_logs/sweep_${LAT}${N}_${DIEL}${SUF}_c16.log"
-        note "c16 sweep $LAT N=$N $DIEL eps$EPS (timeout ${T}s)" | tee -a "$LOG"
+        LOG="bench_logs/sweep_${LAT}${N}_${DIEL}${SUF}_c17.log"
+        note "c17 sweep $LAT N=$N $DIEL eps$EPS (timeout ${T}s)" | tee -a "$LOG"
         timeout "$T" python -u tools/run_sweep.py --n "$N" --lattice "$LAT" \
             --diel "$DIEL" --eps-opt "$EPS" --output output_c64 \
             --max-rounds 8 --outage-budget 1800 $EXTRA \
@@ -209,6 +229,7 @@ EOF
         AFTER=$(lib_state "$LIB")
         if [ "$AFTER" = "$BEFORE" ]; then
             note "sweep $KEY made NO progress (outage?) — back to probe"
+            LIVE=0
             sleep 160
             break
         fi
@@ -234,9 +255,11 @@ EOF
         sleep 160
     fi
 
-    if [ -z "$(next_incomplete 1)" ] && [ -s bench_logs/ab_tpu3.jsonl ]; then
-        note "all queue work drained; sleeping 600s"
+    if [ -z "$(next_incomplete 1)" ]; then
+        note "queue drained this cycle; sleeping 600s"
         sleep 600
+    else
+        sleep 60   # fallback pace; never busy-spin the outer loop
     fi
 done
 note "campaign17 done"
