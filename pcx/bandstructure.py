@@ -101,8 +101,8 @@ def _chunked_rs(h_one, m, c):
 
 
 _RS_CORE = ("ortho_passes", "refresh_every", "floor_patience",
-            "maxstagniter", "use_p", "rr_gram", "w_cap", "col_patience",
-            "lam_tol", "lam_patience")
+            "maxstagniter", "use_p", "rr_gram", "rr_mirror", "w_cap",
+            "col_patience", "lam_tol", "lam_patience")
 _RS_FUSIONS = ("rp_fuse", "dft_fuse")
 
 

@@ -112,14 +112,6 @@ def h_block_p(x: Pair, diag: jnp.ndarray, sdiag: Pair) -> Pair:
 
 # -- 3-D DFT as f64 matmuls ---------------------------------------------------
 
-def _axis_dft_p(x: Pair, w: Pair, precision) -> Pair:
-    dims = (((x[0].ndim - 3,), (0,)), ((), ()))
-    rd = lambda a, b: lax.dot_general(a, b, dims, precision=precision)
-    re = rd(x[0], w[0]) - rd(x[1], w[1])
-    im = rd(x[0], w[1]) + rd(x[1], w[0])
-    return (re, im)
-
-
 def _w2(w: Pair) -> jnp.ndarray:
     """(N, 2, N, 2) real twiddle for the STACKED one-dot axis DFT:
     out[k, q] = sum_{j, p} s[j, p] * W2[j, p, k, q], i.e.
@@ -377,22 +369,10 @@ def pencil_f64_embedding(t: Pair, g: Pair, split: float = 1e-12):
 
 
 # -- Gram / small dense helpers ----------------------------------------------
+# Canonical pair Gram/mix kernels live in solvers.rayleigh_ritz (same
+# dot_generals, plus optional psum over a mesh axis); aliased rather than
+# duplicated so precision/chunking fixes apply to every caller — the f64
+# refine path (bandstructure._refine_jit) uses these names.
 
-def gram_p(x: Pair, y: Pair) -> Pair:
-    """G[i, j] = <x_i, y_j> on flattened pair row-blocks (p, D) f64."""
-    dims = (((1,), (1,)), ((), ()))
-    rd = lambda a, b: lax.dot_general(a, b, dims,
-                                      precision=lax.Precision.HIGHEST)
-    re = rd(x[0], y[0]) + rd(x[1], y[1])
-    im = rd(x[0], y[1]) - rd(x[1], y[0])
-    return (re, im)
-
-
-def mix_p(c: Pair, blocks: Pair) -> Pair:
-    """out_j = sum_i c[i, j] * blocks_i on pairs."""
-    dims = (((0,), (0,)), ((), ()))
-    rd = lambda a, b: lax.dot_general(a, b, dims,
-                                      precision=lax.Precision.HIGHEST)
-    re = rd(c[0], blocks[0]) - rd(c[1], blocks[1])
-    im = rd(c[0], blocks[1]) + rd(c[1], blocks[0])
-    return (re, im)
+from pcx.solvers.rayleigh_ritz import gram_p32 as gram_p  # noqa: E402
+from pcx.solvers.rayleigh_ritz import mix_pair as mix_p  # noqa: E402

@@ -37,17 +37,7 @@ def _axpy(a, x: Pair, y: Pair) -> Pair:
     return (a * x[0] + y[0], a * x[1] + y[1])
 
 
-def _divisor_chunk(d: int, target: int = 65536) -> int:
-    """Largest Gram chunk <= target that divides d (so gram_f64_p's
-    chunked reshape is a free view).  A non-divisor chunk pads, which
-    materializes a copy of every (m, D) operand plane — 0.6 GB each at
-    N=150.  Falls back to target when d has no divisor near it (then
-    padding is unavoidable)."""
-    lo = -(-d // target)
-    for nc in range(lo, min(d, 4 * lo) + 1):
-        if d % nc == 0:
-            return d // nc
-    return target
+_divisor_chunk = rr.divisor_chunk  # now the gram_f64_p default (chunk=0)
 
 
 def rs_solver_parts(
@@ -68,6 +58,7 @@ def rs_solver_parts(
     reduce_axis=None,
     use_p: bool = True,
     rr_gram: str = "xla",
+    rr_mirror: bool = False,
     rp_fused=None,
     w_cap: int = None,
     col_patience: int = 0,
@@ -123,9 +114,12 @@ def rs_solver_parts(
     ``w_cap`` it converts locked columns into real FLOP savings.
 
     ``lam_tol`` (static, default 0 = off) enables RITZ-MOVEMENT stopping:
-    the solve ends (Status.FLOOR) once the max relative movement of the
-    first ``nev`` Ritz values stays below ``lam_tol`` for ``lam_patience``
-    consecutive iterations.  Rationale: the deliverable tolerance is on
+    the solve ends (Status.FLOOR) once the max movement of the first
+    ``nev`` Ritz values — relative to ``max(|theta|, 1)``, i.e. ABSOLUTE
+    for sub-unit eigenvalues (the penalized spectrum sits O(1)+ under the
+    relaxation shift, and the c64 Ritz jitter band the threshold is tuned
+    against is itself absolute at that scale) — stays below ``lam_tol``
+    for ``lam_patience`` consecutive iterations.  Rationale: the deliverable tolerance is on
     FREQUENCIES, and for Rayleigh quotients the eigenvalue error is
     O(residual^2 / gap) — Ritz values stabilize many iterations before the
     residual reaches its c64 floor (BENCH_NOTES: validation ~1e-6 vs the
@@ -139,6 +133,9 @@ def rs_solver_parts(
     """
     if rr_gram not in ("xla", "xla9", "pallas"):
         raise ValueError(f"unknown rr_gram {rr_gram!r}")
+    if lam_tol > 0.0 and lam_patience < 1:
+        raise ValueError("lam_patience must be >= 1 (the stillness counter "
+                         "starts at 0, so 0 would stop unconditionally)")
     if rr_gram == "pallas" and reduce_axis is not None:
         raise ValueError("rr_gram='pallas' does not psum over a mesh axis")
     if rp_fused is not None and reduce_axis is not None:
@@ -178,13 +175,26 @@ def rs_solver_parts(
         x = x0
         n0 = rr.colnorms_p(flat(x), axis_name=reduce_axis)
         x = rr.scale_cols_p(x, 1.0 / jnp.maximum(n0, tiny))
-        xf, _, _ = rr.masked_svqb_drop_p(flat(x), ones_m, noise_floor,
-                                         axis_name=reduce_axis, passes=1)
+        xf, _, keep0 = rr.masked_svqb_drop_p(flat(x), ones_m, noise_floor,
+                                             axis_name=reduce_axis, passes=1)
         hxf = flat(h_func(unflat(xf)))
         t_re, t_im = rr.gram_f64_p(xf, hxf, axis_name=reduce_axis)
-        theta0, v_re, v_im = rr.eigh_f64_embedding(
-            0.5 * (t_re + t_re.T), 0.5 * (t_im - t_im.T), split=rr_split)
-        c0 = (v_re.astype(rdtype), v_im.astype(rdtype))
+        # Rank-deficient starts (e.g. duplicated warm/coarse columns): the
+        # dropped columns are zero, so their zero Gram rows would place a
+        # phantom theta=0 BELOW the HPD spectrum and silently shift every
+        # returned band.  Decouple them ABOVE the spectrum instead, and
+        # carry the keep mask as state["x_ok"] so the first step() RR also
+        # decouples the zero columns — its window logic then returns only
+        # genuine pairs and the refilled X is full rank (self-healing).
+        keep64 = (keep0[:, None] * keep0[None, :]).astype(jnp.float64)
+        t_re = 0.5 * (t_re + t_re.T) * keep64
+        t_im = 0.5 * (t_im - t_im.T) * keep64
+        dead0 = jnp.sqrt(jnp.sum(t_re ** 2) + jnp.sum(t_im ** 2)) + 1.0
+        t_re = t_re + dead0 * jnp.diag(1.0 - keep0.astype(jnp.float64))
+        theta0, v_re, v_im = rr.eigh_f64_embedding(t_re, t_im,
+                                                   split=rr_split)
+        km = keep0[:, None].astype(rdtype)
+        c0 = (v_re.astype(rdtype) * km, v_im.astype(rdtype) * km)
         xf2 = rr.mix_pair(c0, xf)
         hxf2 = rr.mix_pair(c0, hxf)
         lambdas0 = theta0.astype(rdtype)
@@ -208,6 +218,11 @@ def rs_solver_parts(
             # consecutive iterations with max relative Ritz movement of the
             # first nev columns below lam_tol (lam_tol > 0 only)
             lam_still=jnp.asarray(0, jnp.int32),
+            # valid-column mask of X in SORTED position: the +dead0
+            # decoupling sorts phantom columns last, so the zero columns
+            # occupy the trailing positions regardless of which INPUT
+            # columns were dropped (refilled by the next RR window)
+            x_ok=(jnp.arange(m) < jnp.sum(keep0)).astype(rdtype),
         )
 
     def cond_fun(s):
@@ -373,7 +388,7 @@ def rs_solver_parts(
                 against=(xf, wf), h_against=(hxf, hwf),
                 axis_name=reduce_axis, passes=ortho_passes)
 
-            basis_mask = jnp.concatenate((ones_m, w_ok, p_ok))
+            basis_mask = jnp.concatenate((s["x_ok"], w_ok, p_ok))
             if rr_gram == "pallas":
                 from pcx.operators.pallas_kernels import gram9_pairs_auto
                 t_re, t_im = gram9_pairs_auto(xf, wf, pf, hxf, hwf, hpf)
@@ -386,21 +401,21 @@ def rs_solver_parts(
                 # difference between compiling and OOM
                 # (bench_logs/bench_matrix.log, sc_curv_chiral_150).
                 bases, hbases = (xf, wf, pf), (hxf, hwf, hpf)
-                ch = _divisor_chunk(xf[0].shape[1])
-                # Hermitian structure: G[j][i] = G[i][j]^H (exact up to the
-                # stored-HX drift the later symmetrization absorbs either
-                # way), so compute the 6 upper blocks and mirror the 3
-                # lower ones — 1/3 less HBM traffic in exactly the
-                # memory-bound regime xla9 exists for (N=150).
+                # rr_mirror=True computes only the 6 upper blocks and
+                # mirrors the 3 lower ones (G[j][i] = G[i][j]^H) — 1/3
+                # less HBM traffic, but the two triangles are NOT equal in
+                # finite precision (stored-HX drift), and averaging them
+                # via the symmetrization below buys ~a decimal of omega
+                # accuracy (same policy as lobpcg.py rr_mirror, default
+                # off).  Default computes all 9.
                 g = [[None] * 3 for _ in range(3)]
                 for i in range(3):
                     for j in range(3):
-                        if j < i:
+                        if rr_mirror and j < i:
                             re_u, im_u = g[j][i]
                             g[i][j] = (re_u.T, -im_u.T)
                         else:
                             g[i][j] = rr.gram_f64_p(bases[i], hbases[j],
-                                                    chunk=ch,
                                                     axis_name=reduce_axis)
                 t_re = jnp.block([[g[i][j][0] for j in range(3)]
                                   for i in range(3)])
@@ -430,7 +445,13 @@ def rs_solver_parts(
             c_all = (v_re.astype(rdtype) * bm, v_im.astype(rdtype) * bm)
 
             nb = m + 2 * wc
-            n_dead = (nb - jnp.sum(basis_mask)).astype(jnp.int32)
+            valid = jnp.sum(basis_mask)
+            n_dead = (nb - valid).astype(jnp.int32)
+            # Window entries are genuine except when fewer than m basis
+            # columns survived (then the clamped slice re-admits dead
+            # entries at its bottom); mark those so the next RR masks them.
+            x_ok_new = (jnp.arange(m) >= jnp.maximum(0.0, m - valid)
+                        ).astype(rdtype)
             theta = lax.dynamic_slice(theta_all, (n_dead,), (m,))
             c_re = lax.dynamic_slice(c_all[0], (jnp.int32(0), n_dead),
                                      (nb, m))
@@ -485,7 +506,7 @@ def rs_solver_parts(
                 x=x_new, hx=hx_new, p=p_new, hp=hp_new,
                 res_his=res_his, best_res=best_res, best_it=best_it,
                 res=res, best_res_c=best_res_c, best_it_c=best_it_c,
-                n_act=n_act, lam_still=lam_still,
+                n_act=n_act, lam_still=lam_still, x_ok=x_ok_new,
             )
 
         return lax.cond(status != Status.RUNNING, finish, step, None)
@@ -530,6 +551,7 @@ def lobpcg_sep_rs(
     col_patience: int = 0,
     lam_tol: float = 0.0,
     lam_patience: int = 3,
+    rr_mirror: bool = False,
 ) -> SolveResult:
     """LOBPCG on pair blocks; returns SolveResult with ``x`` as a pair.
 
@@ -555,6 +577,7 @@ def lobpcg_sep_rs(
         maxstagniter=maxstagniter, ortho_passes=ortho_passes,
         refresh_every=refresh_every, floor_patience=floor_patience,
         reduce_axis=reduce_axis, use_p=use_p, rr_gram=rr_gram,
-        rp_fused=rp_fused, w_cap=w_cap, col_patience=col_patience,
-        lam_tol=lam_tol, lam_patience=lam_patience)
+        rr_mirror=rr_mirror, rp_fused=rp_fused, w_cap=w_cap,
+        col_patience=col_patience, lam_tol=lam_tol,
+        lam_patience=lam_patience)
     return finalize(run_to(init(x0), maxiter))

@@ -559,13 +559,30 @@ def project_off(block: jnp.ndarray, basis: jnp.ndarray,
 # read the operands directly.  Used by solvers.lobpcg_rs.
 # ---------------------------------------------------------------------------
 
-def gram_f64_p(x, y, chunk: int = 65536, axis_name=None):
+def divisor_chunk(d: int, target: int = 65536) -> int:
+    """Largest Gram chunk <= target that divides d (so the chunked reshape
+    is a free view).  A non-divisor chunk pads, which materializes a copy
+    of every (m, D) operand plane — 0.6 GB each at N=150.  Falls back to
+    target when d has no divisor near it (then padding is unavoidable)."""
+    lo = -(-d // target)
+    for nc in range(lo, min(d, 4 * lo) + 1):
+        if d % nc == 0:
+            return d // nc
+    return target
+
+
+def gram_f64_p(x, y, chunk: int = 0, axis_name=None):
     """f64-accumulated Gram of PAIR row-blocks x=(xr, xi), y=(yr, yi) of
-    shape (p, D): G[i, j] = <x_i, y_j>.  Pair twin of :func:`gram_f64`."""
+    shape (p, D): G[i, j] = <x_i, y_j>.  Pair twin of :func:`gram_f64`.
+
+    ``chunk=0`` (default) picks :func:`divisor_chunk` of D so no call site
+    pays the padding copies; pass an explicit chunk to override."""
     xr, xi = x
     yr, yi = y
     p, d = xr.shape
     q = yr.shape[0]
+    if not chunk:
+        chunk = divisor_chunk(d)
     nc = -(-d // chunk)
     pad = nc * chunk - d
     if pad:

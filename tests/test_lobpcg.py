@@ -539,3 +539,61 @@ def test_kpoint_solver_w_cap_auto_matches_default():
     assert auto.status in (1, 5)
     np.testing.assert_allclose(auto.omega_re, base.omega_re, atol=1e-7)
     assert np.abs(auto.omega - auto.omega_re).max() < 1e-3
+
+
+def test_rs_rank_deficient_start_no_phantom(rng):
+    """A rank-deficient start block (duplicated column — possible from a
+    degenerate warm start or a coarse-grid lift) must NOT inject a phantom
+    below-spectrum Ritz value: init() decouples dropped columns ABOVE the
+    spectrum, so the bottom nev eigenvalues stay correct."""
+    from pcx.solvers.lobpcg_rs import lobpcg_sep_rs
+    n, nev = 100, 5
+    a = _random_hpd(n, rng)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    x0c = (rng.normal(size=(nev + 4, n))
+           + 1j * rng.normal(size=(nev + 4, n)))
+    x0c[1] = x0c[0]          # exact duplicate -> SVQB drops one column
+    ar = jnp.asarray(a.real, jnp.float64)
+    ai = jnp.asarray(a.imag, jnp.float64)
+
+    def h_pair(v):
+        return (v[0] @ ar.T - v[1] @ ai.T, v[0] @ ai.T + v[1] @ ar.T)
+
+    x0p = (jnp.asarray(x0c.real), jnp.asarray(x0c.imag))
+    res = lobpcg_sep_rs(h_pair, lambda v: v, x0p, nev, tol=1e-8,
+                        maxiter=300)
+    lam = np.sort(np.asarray(res.lambdas))[:nev]
+    np.testing.assert_allclose(lam, want, rtol=1e-6)
+    assert lam[0] > 0.0  # no phantom theta=0 below the HPD spectrum
+
+
+def test_rs_lam_patience_validation():
+    from pcx.solvers.lobpcg_rs import rs_solver_parts
+    with pytest.raises(ValueError, match="lam_patience"):
+        rs_solver_parts(lambda v: v, lambda v: v, (4, 8), jnp.float64, 2,
+                        lam_tol=1e-6, lam_patience=0)
+
+
+def test_rs_xla9_full_and_mirror_match(rng):
+    """rr_gram='xla9' (concat-free Gram) with and without triangle
+    mirroring must match the default stacked Gram path."""
+    from pcx.solvers.lobpcg_rs import lobpcg_sep_rs
+    n, nev = 80, 4
+    a = _random_hpd(n, rng)
+    want = np.sort(np.linalg.eigvalsh(a))[:nev]
+    ar = jnp.asarray(a.real, jnp.float64)
+    ai = jnp.asarray(a.imag, jnp.float64)
+
+    def h_pair(v):
+        return (v[0] @ ar.T - v[1] @ ai.T, v[0] @ ai.T + v[1] @ ar.T)
+
+    x0c = (rng.normal(size=(nev + 3, n))
+           + 1j * rng.normal(size=(nev + 3, n)))
+    x0p = (jnp.asarray(x0c.real), jnp.asarray(x0c.imag))
+    for kw in ({"rr_gram": "xla9"},
+               {"rr_gram": "xla9", "rr_mirror": True}):
+        res = lobpcg_sep_rs(h_pair, lambda v: v, x0p, nev, tol=1e-8,
+                            maxiter=300, **kw)
+        assert int(res.status) == 1, kw
+        np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
+                                   rtol=1e-6, err_msg=str(kw))

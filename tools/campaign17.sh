@@ -9,11 +9,13 @@ PREV_PID=${CAMPAIGN16_PID:-22839}
 # pid must not park us forever; a wrong guess must not start us early --
 # fall through to a name scan in that case).
 while :; do
-    if grep -qa campaign16 "/proc/$PREV_PID/cmdline" 2>/dev/null; then
+    if grep -qa "campaign1[6]" "/proc/$PREV_PID/cmdline" 2>/dev/null; then
         sleep 60; continue
     fi
     OTHER=$(ls /proc 2>/dev/null | while read -r p; do
-        [ -f "/proc/$p/cmdline" ] && grep -qa "tools/campaign16.sh" "/proc/$p/cmdline" 2>/dev/null && echo "$p" && break
+        # bracketed pattern: must NOT match this grep's own cmdline
+        # (sequential pid allocation makes the scan reach its own child)
+        [ -f "/proc/$p/cmdline" ] && grep -qa "tools/campaign1[6][.]sh" "/proc/$p/cmdline" 2>/dev/null && echo "$p" && break
     done)
     [ -n "$OTHER" ] && { PREV_PID=$OTHER; sleep 60; continue; }
     break
