@@ -11,9 +11,15 @@ host callback reaches the backend (all three are unimplemented there).
 
 Variants:
   softlock   lobpcg_sep_softlock, the complex-layout primary solver
+  nolock     lobpcg_sep_nolock (reference paper_2/lobpcg.py:76-193)
+  mixed      lobpcg_sep_mixedprecision (c64 preconditioner, ref :494-629)
   max        lobpcg_sep_max (largest eigenvalues; embedding pencil)
   gep        lobpcg_gep on H x = lambda M x with M = the HPD
              preconditioner symbol apply (embedding pencil)
+  descent    descent_sep (two-term steepest descent, ref :847-974)
+  descent_gep descent_gep (ref :976-1100)
+  default    lobpcg_default on an explicit Hermitian matrix
+             (ref paper_2/lobpcg.py:28-61)
   davidson   davidson_sep (fixed-capacity thick restart)
   jd         jd_sep (Jacobi-Davidson, CG correction equation)
 
@@ -105,7 +111,46 @@ def run_variants(n, dtype, tol, maxiter, names):
         r = dav.jd_sep(h, p, x0[:6], 4, tol=tol, maxiter=maxiter)
         return r, final_residual(r, h, 4)
 
-    table = {"softlock": softlock, "max": maxmode, "gep": gep,
+    def nolock():
+        r = lob.lobpcg_sep_nolock(h, p, x0, 6, tol=tol, maxiter=maxiter)
+        return r, final_residual(r, h, 6)
+
+    def mixed():
+        r = lob.lobpcg_sep_mixedprecision(h, p, x0, 6, tol=tol,
+                                          maxiter=maxiter)
+        return r, final_residual(r, h, 6)
+
+    def descent():
+        r = lob.descent_sep(h, p, x0, 6, tol=tol, maxiter=maxiter)
+        return r, final_residual(r, h, 6)
+
+    def descent_gep():
+        from pcx.operators import blocks
+        bmax = float(jnp.max(jnp.abs(prob.b.diag)).real) or 1.0
+        m_func = lambda v: v + blocks.h_block(v, prob.b) * (1.0 / bmax)
+        r = lob.descent_gep(h, m_func, p, x0[:8], 4, tol=tol,
+                            maxiter=maxiter)
+        return r, final_residual(r, h, 4, m_func=m_func)
+
+    def default():
+        # explicit Hermitian matrix path (ref paper_2/lobpcg.py:28-61):
+        # a shifted 1D Laplacian, eigenvalues 2 - 2 cos(k pi / (nd+1)) + 1
+        nd = 64
+        key = jax.random.PRNGKey(3)
+        a = (jnp.diag(jnp.full((nd,), 3.0 + 0j))
+             - jnp.diag(jnp.ones((nd - 1,), jnp.complex64), 1)
+             - jnp.diag(jnp.ones((nd - 1,), jnp.complex64), -1)
+             ).astype(dtype)
+        r = lob.lobpcg_default(a, nev=4, tol=tol, maxiter=maxiter,
+                               seed=int(key[0]))
+        exact = 3.0 - 2.0 * np.cos(np.arange(1, 5) * np.pi / (nd + 1))
+        resid = float(np.max(np.abs(
+            np.asarray(r.lambdas[:4], np.float64) - exact)))
+        return r, resid
+
+    table = {"softlock": softlock, "nolock": nolock, "mixed": mixed,
+             "max": maxmode, "gep": gep, "descent": descent,
+             "descent_gep": descent_gep, "default": default,
              "davidson": davidson, "jd": jd}
     records = []
     for name in names:
@@ -140,7 +185,9 @@ def main():
     args = ap.parse_args()
 
     dtype = jnp.complex128 if args.cpu_smoke else jnp.complex64
-    names = args.only or ["softlock", "max", "gep", "davidson", "jd"]
+    names = args.only or ["softlock", "nolock", "mixed", "max", "gep",
+                          "descent", "descent_gep", "default",
+                          "davidson", "jd"]
     print("devices:", jax.devices(), flush=True)
     records = run_variants(args.n, dtype, args.tol, args.maxiter, names)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
