@@ -21,8 +21,6 @@ Capability reference: Epsilon-79th/linear-eigenvalue-problems-in-photonic-crysta
 
 from pcx import config
 from pcx.config import (
-    Precision,
-    SolverConfig,
     ProblemConfig,
     NEV,
     TOL,

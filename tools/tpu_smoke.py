@@ -1,27 +1,31 @@
 #!/usr/bin/env python
 """Accelerator smoke of the non-production solver variants (VERDICT
-round-1 item 7: max-mode / GEP / Davidson must RUN on the TPU, not only
-in the CPU suite).
+round-2 item 4: max/GEP/mixed/descent/Davidson/JD/lobpcg_default must RUN
+on the TPU, not only in the CPU suite).
 
-All variants solve the assembled SC-CURV chiral Maxwell problem at small N
-in complex64.  Every dense contraction in these solvers routes through the
-real-split GEMM helpers (rayleigh_ritz._csplit_dot) and the f64
-real-embedding eigh/pencil, so no complex dot_general / complex Cholesky /
-host callback reaches the backend (all three are unimplemented there).
+Two routes, both using the real-boundary encoding (the axon backend cannot
+TRANSFER complex buffers; complex arithmetic inside programs is fine):
 
-Variants:
-  softlock   lobpcg_sep_softlock, the complex-layout primary solver
-  nolock     lobpcg_sep_nolock (reference paper_2/lobpcg.py:76-193)
-  mixed      lobpcg_sep_mixedprecision (c64 preconditioner, ref :494-629)
-  max        lobpcg_sep_max (largest eigenvalues; embedding pencil)
-  gep        lobpcg_gep on H x = lambda M x with M = the HPD
-             preconditioner symbol apply (embedding pencil)
-  descent    descent_sep (two-term steepest descent, ref :847-974)
-  descent_gep descent_gep (ref :976-1100)
-  default    lobpcg_default on an explicit Hermitian matrix
-             (ref paper_2/lobpcg.py:28-61)
-  davidson   davidson_sep (fixed-capacity thick restart)
-  jd         jd_sep (Jacobi-Davidson, CG correction equation)
+* softlock/nolock/mixed/descent/davidson/jd go through KPointSolver with
+  ``solver_impl="complex"`` — the production plumbing (real boundary,
+  matmul DFT, plane-wave start, f64 validation recompute) around the
+  complex-layout solver family.
+* max/gep/descent_gep/default have no KPointSolver notion, so they run as
+  one boundary-wrapped jitted core each: host-built NUMPY symbols cross as
+  (..., 2) real pairs, the residual is computed in-program, and only real
+  scalars/vectors cross back.
+
+Variants (reference locations):
+  softlock     lobpcg_sep_softlock           paper_2/lobpcg.py:325-492
+  nolock       lobpcg_sep_nolock             paper_2/lobpcg.py:76-193
+  mixed        lobpcg_sep_mixedprecision     paper_2/lobpcg.py:494-629
+  max          lobpcg_sep_max                paper_2/lobpcg.py:196-323
+  gep          lobpcg_gep                    paper_2/lobpcg.py:688-838
+  descent      descent_sep                   paper_2/lobpcg.py:847-974
+  descent_gep  descent_gep                   paper_2/lobpcg.py:976-1100
+  default      lobpcg_default                paper_2/lobpcg.py:28-61
+  davidson     davidson_sep                  paper_1_python/eigen_solver.py:848-983
+  jd           jd_sep                        paper_1_python/eigen_solver.py:985-1124
 
 Appends one JSON line per variant to --out; prints a PASS/FAIL table.
 Run with --cpu-smoke to pin the CPU backend (harness test; never attach
@@ -52,116 +56,151 @@ except Exception:
 import jax.numpy as jnp
 
 ALPHA = np.array([np.pi, 0.0, 0.0])
+LATTICE = "sc_curv"
 
 
-def build(n, dtype):
-    from pcx.config import ProblemConfig
-    from pcx.operators import maxwell
-    cfg = ProblemConfig(n=n, lattice="sc_curv", diel_type="chiral", nev=6)
-    prob = maxwell.assemble_problem(cfg, ALPHA, dtype=dtype)
-    x0 = maxwell.random_block(jax.random.PRNGKey(7), n, 10, dtype)
-    return prob, x0
+def build_np(n, dtype):
+    """Host-side (numpy) symbol assembly — the assemble_problem chain
+    without the device placement, so complex leaves can cross the real
+    boundary as split pairs."""
+    from pcx import lattices
+    from pcx.config import ProblemConfig, set_relaxation
+    from pcx.operators import dft as dft_mod
+    from pcx.operators import dielectric as diel_mod
+    from pcx.operators import symbols as sym
+
+    cfg = ProblemConfig(n=n, lattice=LATTICE, diel_type="chiral", nev=6)
+    (shift, _), pnt = set_relaxation(ALPHA)
+    ct = lattices.ct_matrix(cfg.lattice)
+    d, di = sym.curl_symbols(n, cfg.k, ct, scal=1.0)
+    d_a = np.asarray(sym.shift_symbol(d, di, ALPHA, scal=1.0), dtype)
+    b_raw = sym.penalty_symbol(d_a)
+    inv = sym.inverse_penalized(b_raw, pnt, shift=shift)
+    rdt = np.float32 if dtype == np.complex64 else np.float64
+    b = sym.HermSymbol(np.asarray(pnt * b_raw.diag.real, rdt),
+                       np.asarray(pnt * b_raw.sdiag, dtype))
+    inv = sym.HermSymbol(np.asarray(inv.diag.real, rdt),
+                         np.asarray(inv.sdiag, dtype))
+    diel = diel_mod.build(cfg.diel_type, n, cfg.lattice, k=cfg.k,
+                          dtype=dtype)
+    mats = dft_mod.dft_mats(n, dtype=dtype)
+    rng = np.random.default_rng(7)
+    x0 = (rng.standard_normal((10, 3, n, n, n))
+          + 1j * rng.standard_normal((10, 3, n, n, n))).astype(dtype)
+    return dict(d_a=d_a, b=b, inv=inv, diel=diel, mats=mats,
+                shift=float(shift), x0=x0)
+
+
+def _resid_in_trace(h, x, lam, nev, m_func=None):
+    xs = x[:nev]
+    lamb = lam[:nev].reshape((-1,) + (1,) * (xs.ndim - 1)).astype(xs.dtype)
+    mx = m_func(xs) if m_func is not None else xs
+    r = h(xs) - lamb * mx
+    num = jnp.sqrt(jnp.sum(jnp.abs(r.reshape(nev, -1)) ** 2, 1))
+    den = jnp.sqrt(jnp.sum(jnp.abs(xs.reshape(nev, -1)) ** 2, 1))
+    return jnp.max(num / ((jnp.abs(lam[:nev]) + 1.0) * den))
 
 
 def run_variants(n, dtype, tol, maxiter, names):
+    from pcx import boundary
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+    from pcx.operators import maxwell
+    from pcx.operators.blocks import h_block
     from pcx.solvers import lobpcg as lob
-    from pcx.solvers import davidson as dav
     from pcx.solvers.lobpcg import Status
 
-    prob, x0 = build(n, dtype)
-    h, p = prob.h_apply, prob.p_apply
     ok_status = (Status.CONVERGED, Status.FLOOR, Status.MAXITER)
+    kps_route = {"softlock", "nolock", "mixed", "descent", "davidson", "jd"}
+    env = None
+    cores = {}
 
-    def final_residual(res, h_func, nev, m_func=None):
-        # only the requested nev pairs are contractual — the extra block
-        # columns are unconverged by design
-        x = res.x[:nev]
-        lam = res.lambdas[:nev]
-        lamb = lam.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-        mx = m_func(x) if m_func is not None else x
-        r = h_func(x) - lamb * mx
-        num = jnp.sqrt(jnp.sum(jnp.abs(r.reshape(nev, -1)) ** 2, 1))
-        den = jnp.sqrt(jnp.sum(jnp.abs(x.reshape(nev, -1)) ** 2, 1))
-        return float(jnp.max(num / ((jnp.abs(lam) + 1.0) * den)))
+    def get_env():
+        nonlocal env
+        if env is None:
+            env = build_np(n, dtype)
+        return env
 
-    def softlock():
-        r = lob.lobpcg_sep_softlock(h, p, x0, 6, tol=tol, maxiter=maxiter)
-        return r, final_residual(r, h, 6)
+    def run_kps(name):
+        cfg = ProblemConfig(n=n, lattice=LATTICE, diel_type="chiral", nev=6)
+        s = KPointSolver(cfg, dtype=jnp.dtype(dtype), tol=tol,
+                         maxiter=maxiter, solver=name,
+                         solver_impl="complex")
+        res = s.solve(ALPHA, verbose=False)
+        dev = float(np.max(np.abs(np.asarray(res.omega)
+                                  - np.asarray(res.omega_re))))
+        lam = np.asarray(res.omega, np.float64) ** 2  # report freq^2 scale
+        return (res.status, res.iterations, dev, np.asarray(res.omega))
 
-    def maxmode():
-        r = lob.lobpcg_sep_max(h, x0[:6], 2, tol=tol, maxiter=maxiter)
-        return r, final_residual(r, h, 2)
+    def direct_core(name):
+        """One jitted core per direct variant; complex args cross as
+        real pairs."""
+        e = get_env()
+        shift = e["shift"]
 
-    def gep():
-        # H x = lambda M x with M = I + pnt-normalized penalty symbol —
-        # HPD with spectrum in [1, 2] (well-conditioned pencil on the
-        # same operator stack, zero extra FFTs).
-        from pcx.operators import blocks
-        bmax = float(jnp.max(jnp.abs(prob.b.diag)).real) or 1.0
-        m_func = lambda v: v + blocks.h_block(v, prob.b) * (1.0 / bmax)
-        r = lob.lobpcg_gep(h, m_func, p, x0[:8], 4, tol=tol,
-                           maxiter=maxiter)
-        return r, final_residual(r, h, 4, m_func=m_func)
+        def core(d_a, b, inv, x0, diel, mats):
+            h = lambda v: maxwell.ama_bb(v, d_a, b, diel, shift=shift,
+                                         dft=mats)
+            p = lambda v: h_block(v, inv)
+            if name == "max":
+                r = lob.lobpcg_sep_max(h, x0[:6], 2, tol=tol,
+                                       maxiter=maxiter)
+                return (r.status, r.iterations, r.lambdas[:2].real,
+                        _resid_in_trace(h, r.x, r.lambdas, 2))
+            bmax = jnp.max(jnp.abs(b.diag)) + 1e-30
+            m_func = lambda v: v + h_block(v, b) * (1.0 / bmax)
+            if name == "gep":
+                r = lob.lobpcg_gep(h, m_func, p, x0[:8], 4, tol=tol,
+                                   maxiter=maxiter)
+            else:
+                r = lob.descent_gep(h, m_func, p, x0[:8], 4, tol=tol,
+                                    maxiter=maxiter)
+            return (r.status, r.iterations, r.lambdas[:4].real,
+                    _resid_in_trace(h, r.x, r.lambdas, 4, m_func=m_func))
 
-    def davidson():
-        r = dav.davidson_sep(h, p, x0[:6], 4, tol=tol, maxiter=maxiter)
-        return r, final_residual(r, h, 4)
+        return jax.jit(boundary.real_boundary(core)), e
 
-    def jd():
-        r = dav.jd_sep(h, p, x0[:6], 4, tol=tol, maxiter=maxiter)
-        return r, final_residual(r, h, 4)
+    def run_direct(name):
+        fn, e = direct_core(name)
+        st, it, lam, resid = fn(e["d_a"], e["b"], e["inv"], e["x0"],
+                                e["diel"], e["mats"])
+        return (int(st), int(it), float(resid),
+                np.asarray(lam, np.float64))
 
-    def nolock():
-        r = lob.lobpcg_sep_nolock(h, p, x0, 6, tol=tol, maxiter=maxiter)
-        return r, final_residual(r, h, 6)
-
-    def mixed():
-        r = lob.lobpcg_sep_mixedprecision(h, p, x0, 6, tol=tol,
-                                          maxiter=maxiter)
-        return r, final_residual(r, h, 6)
-
-    def descent():
-        r = lob.descent_sep(h, p, x0, 6, tol=tol, maxiter=maxiter)
-        return r, final_residual(r, h, 6)
-
-    def descent_gep():
-        from pcx.operators import blocks
-        bmax = float(jnp.max(jnp.abs(prob.b.diag)).real) or 1.0
-        m_func = lambda v: v + blocks.h_block(v, prob.b) * (1.0 / bmax)
-        r = lob.descent_gep(h, m_func, p, x0[:8], 4, tol=tol,
-                            maxiter=maxiter)
-        return r, final_residual(r, h, 4, m_func=m_func)
-
-    def default():
-        # explicit Hermitian matrix path (ref paper_2/lobpcg.py:28-61):
-        # a shifted 1D Laplacian, eigenvalues 2 - 2 cos(k pi / (nd+1)) + 1
+    def run_default():
+        """Explicit-matrix path: shifted 1D Laplacian, exact eigenvalues
+        3 - 2 cos(k pi/(nd+1))."""
+        from pcx import boundary as bd
         nd = 64
-        key = jax.random.PRNGKey(3)
-        a = (jnp.diag(jnp.full((nd,), 3.0 + 0j))
-             - jnp.diag(jnp.ones((nd - 1,), jnp.complex64), 1)
-             - jnp.diag(jnp.ones((nd - 1,), jnp.complex64), -1)
-             ).astype(dtype)
-        r = lob.lobpcg_default(a, nev=4, tol=tol, maxiter=maxiter,
-                               seed=int(key[0]))
-        exact = 3.0 - 2.0 * np.cos(np.arange(1, 5) * np.pi / (nd + 1))
-        resid = float(np.max(np.abs(
-            np.asarray(r.lambdas[:4], np.float64) - exact)))
-        return r, resid
+        a = (np.diag(np.full(nd, 3.0 + 0j))
+             - np.diag(np.ones(nd - 1), 1)
+             - np.diag(np.ones(nd - 1), -1)).astype(dtype)
 
-    table = {"softlock": softlock, "nolock": nolock, "mixed": mixed,
-             "max": maxmode, "gep": gep, "descent": descent,
-             "descent_gep": descent_gep, "default": default,
-             "davidson": davidson, "jd": jd}
+        def core(a_):
+            r = lob.lobpcg_default(a_, nev=4, tol=tol, maxiter=maxiter)
+            return r.status, r.iterations, r.lambdas[:4].real
+
+        st, it, lam = jax.jit(bd.real_boundary(core))(a)
+        exact = 3.0 - 2.0 * np.cos(np.arange(1, 5) * np.pi / (nd + 1))
+        dev = float(np.max(np.abs(np.asarray(lam, np.float64) - exact)))
+        return int(st), int(it), dev, np.asarray(lam, np.float64)
+
     records = []
     for name in names:
         t0 = time.time()
         try:
-            res, resid = table[name]()
-            lam = np.asarray(res.lambdas, dtype=np.float64)
-            rec = {"variant": name, "n": n, "ok": bool(
-                       (res.status in ok_status) and np.isfinite(lam).all()),
-                   "status": Status(int(res.status)).name,
-                   "iters": int(res.iterations),
+            if name in kps_route:
+                st, it, resid, lam = run_kps(name)
+            elif name == "default":
+                st, it, resid, lam = run_default()
+            else:
+                st, it, resid, lam = run_direct(name)
+            lam = np.asarray(lam, np.float64)
+            rec = {"variant": name, "n": n,
+                   "ok": bool((int(st) in [int(s) for s in ok_status])
+                              and np.isfinite(lam).all()),
+                   "status": Status(int(st)).name,
+                   "iters": int(it),
                    "seconds": round(time.time() - t0, 2),
                    "rel_residual": float(f"{resid:.3e}"),
                    "lambdas": [float(f"{v:.6g}") for v in lam[:6]]}
@@ -184,7 +223,7 @@ def main():
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
 
-    dtype = jnp.complex128 if args.cpu_smoke else jnp.complex64
+    dtype = np.complex128 if args.cpu_smoke else np.complex64
     names = args.only or ["softlock", "nolock", "mixed", "max", "gep",
                           "descent", "descent_gep", "default",
                           "davidson", "jd"]
