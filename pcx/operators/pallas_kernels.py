@@ -274,8 +274,15 @@ def _axis_dft_kernel(xr, xi, w2, outr, outi):
 
 
 def _jt_for(j: int, target: int = 8) -> int:
-    """Largest divisor of j that is <= target (brick row count)."""
-    return max(d for d in range(1, min(target, j) + 1) if j % d == 0)
+    """TPU-legal brick row count.  The Mosaic lowering requires the block's
+    second-to-last dim to be a multiple of 8 or the full axis, so a divisor
+    of j is NOT sufficient (N=150 -> jt=6 refused to compile; N=100 -> 5
+    likewise).  j <= target: take the whole axis (always legal); else
+    bricks of ``target`` rows on a cdiv grid — the trailing brick is
+    hardware-padded, and since every output row is independent (the DFT
+    contracts the A axis, never J), the dropped out-of-bounds rows are
+    harmless."""
+    return j if j <= target else target
 
 
 def stacked_twiddle(w):
@@ -302,7 +309,7 @@ def axis_dft_pairs(x, w2, jt: int = 0, interpret: bool = False):
                             lambda bb, jj: (bb, jj, jj * 0, jj * 0))
     outr, outi = pl.pallas_call(
         _axis_dft_kernel,
-        grid=(b, j // jt),
+        grid=(b, -(-j // jt)),
         in_specs=[in_spec, in_spec, w_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((b, j, k, a2), jnp.float32),

@@ -129,7 +129,9 @@ def test_dft3_pairs_fused_matches_stacked_dot(rng):
     from pcx.operators import rs
     from pcx.operators.pallas_kernels import dft3_pairs_fused
 
-    for n, lead in ((8, (2, 3)), (10, (4,))):
+    # n=10/12 exercise the uneven (cdiv-padded) brick grid the TPU
+    # lowering needs for N % 8 != 0 (N=100/150 production grids).
+    for n, lead in ((8, (2, 3)), (10, (4,)), (12, (2,))):
         mats = dft_mod.dft_mats(n, np.complex128)
         for w_np in (mats.fwd, mats.inv):
             w = (jnp.asarray(w_np.real, jnp.float32),
