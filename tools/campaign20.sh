@@ -267,8 +267,20 @@ print(sum(1 for r in it if r[0]<=0))" 2>/dev/null || echo 99)
         sleep 160
     fi
 
+    if [ "$REM" -gt 4200 ] && [ ! -s bench_logs/ab_tpu6.jsonl ] \
+            && [ -s bench_logs/ab_tpu3.jsonl ] \
+            && [ -z "$(next_incomplete 1)" ]; then
+        note "stack lever re-measure with 5 reps (ab_tpu6; ADVICE r2)"
+        timeout 7200 python -u tools/ab_tpu.py --n 120 --reps 5 --kbatch 0 \
+            --out bench_logs/ab_tpu6.jsonl \
+            --only base stack_p3 stack_lam2e6 \
+            2>&1 | tee -a bench_logs/campaign8_outer.log || true
+        sleep 160
+    fi
+
     if [ -z "$(next_incomplete 1)" ] && grep -q "^fccfast_done" "$ATT" \
-            && [ -s bench_logs/ab_tpu3.jsonl ]; then
+            && [ -s bench_logs/ab_tpu3.jsonl ] \
+            && [ -s bench_logs/ab_tpu6.jsonl ]; then
         note "all campaign20 work complete"
         break
     fi
