@@ -605,13 +605,25 @@ def lobpcg_default(a, nev: int = 20, rlx: int = 4, prec=None,
     """
     if isinstance(a, tuple):
         h_vec, n = a
+
+        def h_func(block):                  # block (m, n) rows = vectors
+            return jax.vmap(h_vec)(block)
     else:
         a = jnp.asarray(a)
         n = a.shape[0]
-        h_vec = lambda v: a @ v
+        # Split real GEMMs: complex (and complex-by-real) dot_general is
+        # UNIMPLEMENTED on the axon TPU backend; y_i = a @ block_i row-wise
+        # is Y = block @ a^T, done on the real/imag planes.
+        at_r, at_i = jnp.real(a).T, jnp.imag(a).T
 
-    def h_func(block):                      # block (m, n) rows = vectors
-        return jax.vmap(h_vec)(block)
+        def h_func(block):
+            br, bi = jnp.real(block), jnp.imag(block)
+            if jnp.iscomplexobj(a):
+                yr = br @ at_r - bi @ at_i
+                yi = br @ at_i + bi @ at_r
+            else:
+                yr, yi = br @ at_r, bi @ at_r
+            return jax.lax.complex(yr, yi).astype(block.dtype)
 
     p_func = (lambda v: v) if prec is None else prec
     key = jax.random.PRNGKey(seed)

@@ -221,12 +221,47 @@ def main():
     ap.add_argument("--out", default="bench_logs/tpu_smoke.jsonl")
     ap.add_argument("--cpu-smoke", action="store_true")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--per-timeout", type=int, default=1200,
+                    help="per-variant subprocess timeout (TPU mode)")
+    ap.add_argument("--breather", type=int, default=30,
+                    help="pause between variant subprocesses (the remote "
+                         "compile helper has failed under back-to-back "
+                         "large compiles)")
     args = ap.parse_args()
 
     dtype = np.complex128 if args.cpu_smoke else np.complex64
     names = args.only or ["softlock", "nolock", "mixed", "max", "gep",
                           "descent", "descent_gep", "default",
                           "davidson", "jd"]
+
+    if not args.cpu_smoke and len(names) > 1:
+        # One SUBPROCESS per variant: a single UNIMPLEMENTED compile poisons
+        # the whole attached process (observed: instant failures of every
+        # variant after the first genuine one), so isolation is the only way
+        # to get one honest verdict per variant.
+        import subprocess
+        bad = []
+        for name in names:
+            cmd = [sys.executable, "-u", os.path.abspath(__file__),
+                   "--n", str(args.n), "--tol", str(args.tol),
+                   "--maxiter", str(args.maxiter), "--out", args.out,
+                   "--only", name]
+            try:
+                rc = subprocess.run(cmd, timeout=args.per_timeout).returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+                with open(args.out, "a") as f:
+                    f.write(json.dumps({
+                        "variant": name, "n": args.n, "ok": False,
+                        "error": f"subprocess timeout {args.per_timeout}s",
+                        "backend": "tpu"}) + "\n")
+            if rc != 0:
+                bad.append(name)
+            time.sleep(args.breather)
+        print(f"# {'ALL PASS' if not bad else 'FAIL: ' + ', '.join(bad)}",
+              flush=True)
+        return 1 if bad else 0
+
     print("devices:", jax.devices(), flush=True)
     records = run_variants(args.n, dtype, args.tol, args.maxiter, names)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
