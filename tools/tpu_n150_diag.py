@@ -109,11 +109,31 @@ def run_stage(stage: str, n: int, m: int) -> dict:
     if stage.startswith("iter1"):
         return {"ok": True, "status": Status(int(res.status)).name,
                 "iters": int(res.iterations)}
-    return {"ok": res.status in (Status.CONVERGED, Status.FLOOR,
-                                 Status.MAXITER),
-            "status": Status(int(res.status)).name,
-            "iters": int(res.iterations),
-            "seconds_solve": round(res.wall_time, 2)}
+    ok = res.status in (Status.CONVERGED, Status.FLOOR, Status.MAXITER)
+    rec = {"ok": ok, "status": Status(int(res.status)).name,
+           "iters": int(res.iterations),
+           "seconds_solve": round(res.wall_time, 2)}
+    if ok and n == 150:
+        # Timed warm rep + validation; on success write the
+        # sc_curv_chiral_150 row the sweep queue gates on
+        # (same schema as tools/tpu_n150_bisect.try_variant).
+        r2 = solver.solve(alpha, seed=1, validate_result=False)
+        rep = solver.validate_solution(alpha, r2)
+        dev = float(np.abs(rep.omega_pnt - rep.omega_re).max())
+        rec["validation"] = float(f"{dev:.3e}")
+        if dev < 1e-3:
+            row = {"row": "sc_curv_chiral_150", "lattice": "sc_curv",
+                   "diel": "chiral", "n": 150,
+                   "seconds": round(float(r2.wall_time), 3),
+                   "iters": int(r2.iterations),
+                   "validation": rec["validation"],
+                   "baseline_gpu_s": 49.20,
+                   "vs_baseline": round(49.20 / float(r2.wall_time), 3),
+                   "solver_opts": dict(opts)}
+            with open("bench_logs/bench_matrix.jsonl", "a") as f:
+                f.write(json.dumps(row) + "\n")
+            rec["bench_row"] = True
+    return rec
 
 
 def main():
