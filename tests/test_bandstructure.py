@@ -336,7 +336,9 @@ def test_committed_libraries_match_reference_goldens():
     # (tools/golden_diff.py REF_NAME_CHIRAL)
     alias = {"bcc_sg": "bcc_single_gyroid", "bcc_dg": "bcc_double_gyroid"}
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    libs = sorted(glob.glob(os.path.join(repo, "output_c64/*/bandgap_*.json")))
+    libs = sorted(
+        glob.glob(os.path.join(repo, "output_c64/*/bandgap_*.json"))
+        + glob.glob(os.path.join(repo, "output_c64_fast/*/bandgap_*.json")))
     assert libs, "no committed reference-resolution libraries"
     checked = 0
     for path in libs:
@@ -346,6 +348,12 @@ def test_committed_libraries_match_reference_goldens():
         # (chiral/trivial) gyroid name regardless of the pcx short name
         cand_names = [name] + [name.replace(s, l) for s, l in alias.items()
                                if s in name]
+        # the reference writes eps_opt=0 libraries with an explicit "0"
+        # suffix (bandgap_sc_curv0.json, bandgap_bcc_double_gyroid0.json);
+        # pcx suffixes only eps_opt != 0 — try the "0" forms after the
+        # exact names
+        cand_names += [c.replace(".json", "0.json") for c in list(cand_names)
+                       if not c[-6].isdigit()]
         ref_path = next((p for p in
                          (os.path.join(ref_root, diel, c)
                           for c in cand_names) if os.path.exists(p)), None)
@@ -379,5 +387,6 @@ def test_committed_libraries_match_reference_goldens():
             dev = np.abs(a - b)[mask].max()
             assert dev < 8e-3, (path, key, dev)
             checked += 1
-    # the two libraries completed this round must be present and compared
-    assert checked >= 2, checked
+    # round-2's two chiral keys + round-3's crossdof sc_curv and
+    # fast-lever fcc must all be present and compared
+    assert checked >= 4, checked
