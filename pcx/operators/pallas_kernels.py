@@ -143,12 +143,17 @@ def _resid_precond_kernel(*refs):
         ss[:, :] = jnp.zeros_like(ss)
 
     lam_c = lam[:, 0:1]                      # (m, 1) broadcast column
-    m, chunk = xr.shape[0], xr.shape[2]
+    # Blocks arrive component-major (3, m, chunk): the component axis as
+    # the OUTERMOST dim keeps the HBM buffers' tiled layout on (m, chunk)
+    # — a (m, 3, Dp) buffer tiles T(4, 128) and pads the 3-axis to 4,
+    # wasting 33% of the largest allocations in the program (the N=150
+    # iter1 OOM dump: 2 x 824 MB where 618 MB is live data).
+    m, chunk = xr.shape[1], xr.shape[2]
     r_re, r_im = [], []
     acc = jnp.zeros((m, chunk), jnp.float32)
     for k in range(3):
-        rr_ = lam_c * xr[:, k, :] - hxr[:, k, :]
-        ri_ = lam_c * xi[:, k, :] - hxi[:, k, :]
+        rr_ = lam_c * xr[k] - hxr[k]
+        ri_ = lam_c * xi[k] - hxi[k]
         r_re.append(rr_)
         r_im.append(ri_)
         acc = acc + (rr_ * rr_ + ri_ * ri_)
@@ -183,8 +188,8 @@ def _resid_precond_kernel(*refs):
             pr_, pi_ = cmul(sr[j], sgn * si[j], r_re[col], r_im[col])
             yr = yr + pr_
             yi = yi + pi_
-        wr[:, row, :] = yr
-        wi[:, row, :] = yi
+        wr[row] = yr
+        wi[row] = yi
 
 
 def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
@@ -193,15 +198,24 @@ def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
     Ritz values lam (m,), and the preconditioner symbol (diag REAL (3, D),
     sdiag pair (3, D)).  w_raw = Hinv (lam x - hx) UNMASKED (the
     per-column locking mask commutes with the column-local precondition);
-    res_sumsq is the per-column ||r||^2 (f32, as colnorms_p)."""
+    res_sumsq is the per-column ||r||^2 (f32, as colnorms_p).
+
+    HBM buffers are staged component-major (3, m, Dp): with the 3-axis
+    innermost-but-one the TPU tiles the buffer T(4, 128) and pads 3 -> 4
+    (+33% on the largest allocations in the program — the N=150 iter1
+    compile OOMed by 27.6 MB while two such 824 MB buffers carried 206 MB
+    of pure padding each).  Component-major keeps the (m, Dp) trailing
+    dims on the native T(8, 128) tile at <0.01% padding."""
     m, three, d = x[0].shape
     assert three == 3
     assert chunk % 128 == 0
     nc = -(-d // chunk)
     pad = nc * chunk - d
 
-    def prep(a, f32=True):
-        a = a.astype(jnp.float32) if f32 else a
+    def prep(a, transpose=True):
+        a = a.astype(jnp.float32)
+        if transpose:                      # (m, 3, D) -> (3, m, D)
+            a = a.transpose(1, 0, 2)
         if pad:
             width = ((0, 0),) * (a.ndim - 1) + ((0, pad),)
             a = jnp.pad(a, width)
@@ -209,12 +223,11 @@ def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
 
     planes = [prep(a) for a in (x[0], x[1], hx[0], hx[1])]
     lam128 = jnp.broadcast_to(lam.astype(jnp.float32)[:, None], (m, 128))
-    syms = [prep(a) for a in (inv_diag.astype(jnp.float32),
-                              inv_sd[0].astype(jnp.float32),
-                              inv_sd[1].astype(jnp.float32))]
+    syms = [prep(a, transpose=False) for a in (inv_diag, inv_sd[0],
+                                               inv_sd[1])]
 
     # i32-derived index-map zeros: see _gram9_call.
-    blk = pl.BlockSpec((m, 3, chunk), lambda c: (c * 0, c * 0, c))
+    blk = pl.BlockSpec((3, m, chunk), lambda c: (c * 0, c * 0, c))
     sblk = pl.BlockSpec((3, chunk), lambda c: (c * 0, c))
     lamblk = pl.BlockSpec((m, 128), lambda c: (c * 0, c * 0))
     ssblk = pl.BlockSpec((m, 128), lambda c: (c * 0, c * 0))
@@ -223,13 +236,14 @@ def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
         grid=(nc,),
         in_specs=[blk, blk, blk, blk, lamblk, sblk, sblk, sblk],
         out_specs=(blk, blk, ssblk),
-        out_shape=(jax.ShapeDtypeStruct((m, 3, nc * chunk), jnp.float32),
-                   jax.ShapeDtypeStruct((m, 3, nc * chunk), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((3, m, nc * chunk), jnp.float32),
+                   jax.ShapeDtypeStruct((3, m, nc * chunk), jnp.float32),
                    jax.ShapeDtypeStruct((m, 128), jnp.float32)),
         interpret=interpret,
     )(*planes, lam128, *syms)
     if pad:
         wr, wi = wr[:, :, :d], wi[:, :, :d]
+    wr, wi = wr.transpose(1, 0, 2), wi.transpose(1, 0, 2)
     return (wr, wi), jnp.sum(ss, axis=1)
 
 

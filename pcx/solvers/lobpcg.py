@@ -626,14 +626,17 @@ def lobpcg_default(a, nev: int = 20, rlx: int = 4, prec=None,
             return jax.lax.complex(yr, yi).astype(block.dtype)
 
     p_func = (lambda v: v) if prec is None else prec
-    key = jax.random.PRNGKey(seed)
-    k1, k2 = jax.random.split(key)
     dt = a.dtype if not isinstance(a, tuple) else jnp.complex128
     rdt = real_dtype(dt)
-    x0 = jax.lax.complex(
-        jax.random.uniform(k1, (nev + rlx, n), dtype=rdt),
-        jax.random.uniform(k2, (nev + rlx, n), dtype=rdt)).astype(
-            jnp.promote_types(dt, jnp.complex64))
+    # Host-side start block: x0 depends only on static shape/seed, so it is
+    # a compile-time constant either way — but jax.random's threefry lowers
+    # to shift/xor integer ops the axon TPU backend refuses (the only 4 op
+    # types separating this variant's program from the TPU-passing ones).
+    import numpy as _np
+    rng = _np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.uniform(size=(nev + rlx, n))
+                     + 1j * rng.uniform(size=(nev + rlx, n))).astype(
+                         jnp.promote_types(dt, jnp.complex64))
     if maxmin == "min":
         return lobpcg_sep_softlock(h_func, p_func, x0, nev, tol=tol,
                                    maxiter=maxiter)
