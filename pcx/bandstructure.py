@@ -47,7 +47,7 @@ class EigenResult:
     report: Optional[validate.ValidationReport]
 
 
-def _make_rp_fused(m, rdt, inv_diag, inv_sd):
+def _make_rp_fused(m, rdt, inv_diag, inv_sd, layout="mc"):
     """Fused residual/column-norms/preconditioner callable for the rs
     solver (solver_opts {"rp_fuse": "pallas"}): one Pallas HBM pass per
     iteration instead of ~4 XLA passes over the block (VERDICT round-1
@@ -60,7 +60,8 @@ def _make_rp_fused(m, rdt, inv_diag, inv_sd):
     def rp(xf, hxf, lam):
         x3 = tuple(a.reshape(m, 3, -1) for a in xf)
         hx3 = tuple(a.reshape(m, 3, -1) for a in hxf)
-        (wr, wi), ss = pk.resid_precond_auto(x3, hx3, lam, idg, isd)
+        (wr, wi), ss = pk.resid_precond_auto(x3, hx3, lam, idg, isd,
+                                             layout=layout)
         return ((wr.reshape(m, -1).astype(rdt),
                  wi.reshape(m, -1).astype(rdt)), ss)
 
@@ -103,7 +104,7 @@ def _chunked_rs(h_one, m, c):
 _RS_CORE = ("ortho_passes", "refresh_every", "floor_patience",
             "maxstagniter", "use_p", "rr_gram", "rr_mirror", "w_cap",
             "col_patience", "lam_tol", "lam_patience")
-_RS_FUSIONS = ("rp_fuse", "dft_fuse")
+_RS_FUSIONS = ("rp_fuse", "dft_fuse", "rp_layout")
 
 
 def _filter_rs_opts(opts, *, fusions_ok=True, strip_w_cap=False,
@@ -342,9 +343,10 @@ class KPointSolver:
 
         def run_core(d_a, b, inv, shift, x0, diel, dft):
             fusion_only = sorted(k for k in ("rr_gram", "rp_fuse",
-                                             "dft_fuse", "w_cap",
-                                             "col_patience", "lam_tol",
-                                             "lam_patience") if k in opts)
+                                             "dft_fuse", "rp_layout",
+                                             "w_cap", "col_patience",
+                                             "lam_tol", "lam_patience")
+                                 if k in opts)
             if fusion_only:
                 raise ValueError(
                     f"solver_opts {fusion_only} are pair-layout-solver "
@@ -405,7 +407,8 @@ class KPointSolver:
                 return rs.h_block_p(v, inv_diag, inv_sd)
 
             rs_opts = _filter_rs_opts(opts)
-            rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd)
+            rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd,
+                                 layout=opts.get("rp_layout", "mc"))
                   if opts.get("rp_fuse", "xla") == "pallas" else None)
             res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
                                        maxiter=maxiter, locking=locking,
@@ -495,7 +498,8 @@ class KPointSolver:
             def p_func(v):
                 return rs.h_block_p(v, inv_diag, inv_sd)
 
-            rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd)
+            rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd,
+                                 layout=fusion_opts.get("rp_layout", "mc"))
                   if rp_mode == "pallas" else None)
             return h_func, p_func, rp
 

@@ -127,13 +127,16 @@ def gram9_pairs_auto(x, w, p, hx, hw, hp, chunk: int = 2048):
 
 # -- fused residual + preconditioner + column sum-squares ---------------------
 
-def _resid_precond_kernel(*refs):
+def _resid_precond_kernel(cm, *refs):
     """Grid: (num_chunks,).  One HBM pass computing, per spatial chunk:
     the residual pair r = lam*x - hx, its per-column sum-of-squares
     (f64-accumulated), and the preconditioned block w = Hinv r (Hermitian
     3x3 symbol multiply).  Unfused XLA needs ~4 passes over the block
     (r materialize, colnorms read, precond read, w write); this reads x/hx
-    once and writes w once."""
+    once and writes w once.
+
+    ``cm``: blocks arrive component-major (3, m, chunk) instead of
+    (m, 3, chunk) — see :func:`fused_resid_precond`."""
     (xr, xi, hxr, hxi, lam, idiag, isdr, isdi,
      wr, wi, ss) = refs
     c = pl.program_id(0)
@@ -143,17 +146,15 @@ def _resid_precond_kernel(*refs):
         ss[:, :] = jnp.zeros_like(ss)
 
     lam_c = lam[:, 0:1]                      # (m, 1) broadcast column
-    # Blocks arrive component-major (3, m, chunk): the component axis as
-    # the OUTERMOST dim keeps the HBM buffers' tiled layout on (m, chunk)
-    # — a (m, 3, Dp) buffer tiles T(4, 128) and pads the 3-axis to 4,
-    # wasting 33% of the largest allocations in the program (the N=150
-    # iter1 OOM dump: 2 x 824 MB where 618 MB is live data).
-    m, chunk = xr.shape[1], xr.shape[2]
+    comp = ((lambda ref, k: ref[k]) if cm
+            else (lambda ref, k: ref[:, k, :]))
+    m = xr.shape[1] if cm else xr.shape[0]
+    chunk = xr.shape[2]
     r_re, r_im = [], []
     acc = jnp.zeros((m, chunk), jnp.float32)
     for k in range(3):
-        rr_ = lam_c * xr[k] - hxr[k]
-        ri_ = lam_c * xi[k] - hxi[k]
+        rr_ = lam_c * comp(xr, k) - comp(hxr, k)
+        ri_ = lam_c * comp(xi, k) - comp(hxi, k)
         r_re.append(rr_)
         r_im.append(ri_)
         acc = acc + (rr_ * rr_ + ri_ * ri_)
@@ -188,24 +189,31 @@ def _resid_precond_kernel(*refs):
             pr_, pi_ = cmul(sr[j], sgn * si[j], r_re[col], r_im[col])
             yr = yr + pr_
             yi = yi + pi_
-        wr[row] = yr
-        wi[row] = yi
+        if cm:
+            wr[row] = yr
+            wi[row] = yi
+        else:
+            wr[:, row, :] = yr
+            wi[:, row, :] = yi
 
 
 def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
-                        interpret: bool = False):
+                        interpret: bool = False, layout: str = "mc"):
     """(w_raw, res_sumsq) from pair blocks x, hx of shape (m, 3, D) f32,
     Ritz values lam (m,), and the preconditioner symbol (diag REAL (3, D),
     sdiag pair (3, D)).  w_raw = Hinv (lam x - hx) UNMASKED (the
     per-column locking mask commutes with the column-local precondition);
     res_sumsq is the per-column ||r||^2 (f32, as colnorms_p).
 
-    HBM buffers are staged component-major (3, m, Dp): with the 3-axis
-    innermost-but-one the TPU tiles the buffer T(4, 128) and pads 3 -> 4
-    (+33% on the largest allocations in the program — the N=150 iter1
-    compile OOMed by 27.6 MB while two such 824 MB buffers carried 206 MB
-    of pure padding each).  Component-major keeps the (m, Dp) trailing
-    dims on the native T(8, 128) tile at <0.01% padding."""
+    ``layout="cm"`` stages the HBM buffers component-major (3, m, Dp): a
+    (m, 3, Dp) buffer tiles T(4, 128) and pads the 3-axis to 4 — +33% on
+    the largest allocations in the program (the N=150 iter1 compile OOMed
+    by 27.6 MB while two such 824 MB buffers carried 206 MB of pure
+    padding each).  Component-major keeps the (m, Dp) trailing dims on the
+    native T(8, 128) tile at <0.01% padding.  Default stays "mc" (the
+    round-2 on-chip-validated layout) until "cm" is Mosaic-validated on
+    the axon backend; flip via solver_opts {"rp_layout": "cm"}."""
+    cm = layout == "cm"
     m, three, d = x[0].shape
     assert three == 3
     assert chunk % 128 == 0
@@ -214,7 +222,7 @@ def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
 
     def prep(a, transpose=True):
         a = a.astype(jnp.float32)
-        if transpose:                      # (m, 3, D) -> (3, m, D)
+        if cm and transpose:               # (m, 3, D) -> (3, m, D)
             a = a.transpose(1, 0, 2)
         if pad:
             width = ((0, 0),) * (a.ndim - 1) + ((0, pad),)
@@ -226,32 +234,36 @@ def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
     syms = [prep(a, transpose=False) for a in (inv_diag, inv_sd[0],
                                                inv_sd[1])]
 
+    bshape = (3, m, chunk) if cm else (m, 3, chunk)
+    wshape = (3, m, nc * chunk) if cm else (m, 3, nc * chunk)
     # i32-derived index-map zeros: see _gram9_call.
-    blk = pl.BlockSpec((3, m, chunk), lambda c: (c * 0, c * 0, c))
+    blk = pl.BlockSpec(bshape, lambda c: (c * 0, c * 0, c))
     sblk = pl.BlockSpec((3, chunk), lambda c: (c * 0, c))
     lamblk = pl.BlockSpec((m, 128), lambda c: (c * 0, c * 0))
     ssblk = pl.BlockSpec((m, 128), lambda c: (c * 0, c * 0))
     wr, wi, ss = pl.pallas_call(
-        _resid_precond_kernel,
+        partial(_resid_precond_kernel, cm),
         grid=(nc,),
         in_specs=[blk, blk, blk, blk, lamblk, sblk, sblk, sblk],
         out_specs=(blk, blk, ssblk),
-        out_shape=(jax.ShapeDtypeStruct((3, m, nc * chunk), jnp.float32),
-                   jax.ShapeDtypeStruct((3, m, nc * chunk), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct(wshape, jnp.float32),
+                   jax.ShapeDtypeStruct(wshape, jnp.float32),
                    jax.ShapeDtypeStruct((m, 128), jnp.float32)),
         interpret=interpret,
     )(*planes, lam128, *syms)
     if pad:
         wr, wi = wr[:, :, :d], wi[:, :, :d]
-    wr, wi = wr.transpose(1, 0, 2), wi.transpose(1, 0, 2)
+    if cm:
+        wr, wi = wr.transpose(1, 0, 2), wi.transpose(1, 0, 2)
     return (wr, wi), jnp.sum(ss, axis=1)
 
 
-def resid_precond_auto(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048):
+def resid_precond_auto(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
+                       layout: str = "mc"):
     """fused_resid_precond with interpret mode auto-selected."""
     interpret = jax.default_backend() == "cpu"
     return fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk=chunk,
-                               interpret=interpret)
+                               interpret=interpret, layout=layout)
 
 
 # -- fused DFT-with-transpose (one axis pass) ---------------------------------

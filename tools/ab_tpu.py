@@ -73,6 +73,10 @@ VARIANTS = [
     ("gram_pallas", {"rr_gram": "pallas"}),
     ("all3", {"rr_gram": "pallas", "rp_fuse": "pallas",
               "dft_fuse": "pallas"}),
+    # rp_cm: component-major (3, m, Dp) rp_fuse HBM buffers — removes the
+    # T(4,128) 3->4 sublane padding (the N=150 OOM driver); candidate new
+    # default if ms_per_iter is not worse than base.
+    ("rp_cm", {"rp_layout": "cm"}),
     # Per-column floor locking + adaptive W/P width buckets (round 2):
     # at the c64 floor no column ever reaches res < tol, so the
     # reference-style tol locking never engages; col_patience locks a

@@ -93,7 +93,10 @@ def run_stage(stage: str, n: int, m: int) -> dict:
     from pcx.solvers.lobpcg import Status
 
     alpha = np.array([np.pi, 0.0, 0.0])
-    opts = {"rr_gram": "xla9", "w_cap": 8, "col_patience": 6}
+    # rp_layout="cm": component-major rp_fuse buffers — removes the 2x206MB
+    # sublane padding that put iter1_pallas 27.6MB over HBM (n150_diag.log).
+    opts = {"rr_gram": "xla9", "w_cap": 8, "col_patience": 6,
+            "rp_layout": "cm"}
     if stage == "iter1_xla":
         opts["dft_fuse"] = "xla"
         opts["rp_fuse"] = "xla"
