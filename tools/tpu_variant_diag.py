@@ -144,6 +144,7 @@ def main():
         except Exception as ex:  # noqa: BLE001 — diag must record, not die
             rec = {"ok": False, "error": str(ex)[:300]}
         rec.update(stage=args.stage, n=args.n,
+                   backend="cpu" if os.environ.get("PCX_DIAG_CPU") else "tpu",
                    seconds=round(time.time() - t0, 2))
         print(json.dumps(rec), flush=True)
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
