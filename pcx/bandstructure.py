@@ -32,6 +32,7 @@ from pcx.operators import symbols as sym
 from pcx.operators.blocks import h_block
 from pcx.solvers import lobpcg as lob
 from pcx.solvers import lobpcg_rs as lob_rs
+from pcx.solvers import rayleigh_ritz as rr
 from pcx.utils import GREEN, RED, RESET, YELLOW, dots, norms, real_dtype
 
 
@@ -152,7 +153,7 @@ class KPointSolver:
                  diel: Optional[diel_mod.DielectricOp] = None,
                  solver_opts: Optional[dict] = None,
                  real_boundary: Optional[bool] = None,
-                 fft_mode: str = "auto", refine: Optional[bool] = None,
+                 fft_mode: str = "auto", refine=None,
                  apply_chunk: Optional[int] = None,
                  solver_impl: str = "auto", x0_mode: str = "plane_wave",
                  segment_iters: Optional[int] = None):
@@ -277,7 +278,19 @@ class KPointSolver:
         # SUBSPACE, not by c64 apply noise.  Only (N,)-sized 1-D symbol parts
         # and (N, N) twiddles cross the slow host link; the (3, N, N, N)
         # symbols are rebuilt on device (rs.build_curl_p).
+        # ``refine`` values: True/"f64" = emulated-f64 refine (most exact,
+        # ~13 chunked f64 operator applies per call — measured ~17 s/point
+        # at N=120 on the tunneled TPU, dominating warm-started sweeps);
+        # "light" = working-precision refine (_refine_light_jit, one
+        # full-width apply + f64-accumulated Grams, same 1e-3 spurious
+        # gate semantics, ~1 solver-iteration of cost); False = none.
         self.refine = refine if refine is not None else self.rb
+        if self.refine == "light" and not self.rb:
+            # The light refine consumes pair-encoded blocks + pair diel
+            # params (rb mode, the accelerator production path); outside
+            # it, fall back to the plain working-precision stats
+            # validation (same gate, via the non-refine branch of solve).
+            self.refine = False
         # Device-symbol mode (rs solver): the MAIN solve also rebuilds its
         # (3, N, N, N) symbols on device from the same 1-D parts — a sweep
         # then ships only (N,)-vectors + scalars per k-point instead of
@@ -675,15 +688,71 @@ class KPointSolver:
 
         return jax.jit(core)
 
+    @lru_cache(maxsize=8)
+    def _refine_light_jit(self, m: int):
+        """Working-precision twin of :meth:`_refine_jit` (``refine="light"``).
+
+        Same inputs/outputs and the same spurious-gate semantics as the
+        emulated-f64 refine, but the operator applies run in the ITERATE's
+        real dtype (one full-width ``ama_bb_p`` — the exact program shape of
+        a single solver iteration — plus one ``ama_p`` on the leading nev
+        refined modes), with the projected (m, m) pencil f64-ACCUMULATED
+        (rayleigh_ritz.gram_f64_p) and solved by the f64 real-embedding
+        pencil.  theta is still subspace-limited exactly like the f64
+        refine (__init__ docnote); the only extra noise is the ~1e-7 f32
+        quantization of the applies — invisible against the 1e-3 physical
+        gate and the ~2e-3 c64 golden scale.  On the tunneled TPU this
+        replaces ~13 chunked emulated-f64 applies + 64 emulated-f64 Grams
+        (~17 s/point at N=120, the dominant cost of a warm-started sweep)
+        with ~1 solver-iteration of work."""
+        nev, n = self.cfg.nev, self.cfg.n
+        rdt = self.rdt
+
+        def core(d1, d0, ct, alpha, pnt, shift, x_ri, diel, wf, wi):
+            d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
+            b_diag64, b_sdiag64 = rs.penalty_p(d_a64, pnt)
+            cast = lambda p: (p[0].astype(rdt), p[1].astype(rdt))
+            d_a = cast(d_a64)
+            b_diag = b_diag64.astype(rdt)
+            b_sdiag = cast(b_sdiag64)
+            wf_, wi_ = cast(wf), cast(wi)
+            x = (x_ri[..., 0].astype(rdt), x_ri[..., 1].astype(rdt))
+            hx = rs.ama_bb_p(x, d_a, b_diag, b_sdiag, diel, wf_, wi_,
+                             shift.astype(rdt))
+            flat = lambda p, k: (p[0].reshape(k, -1), p[1].reshape(k, -1))
+            xf, hxf = flat(x, m), flat(hx, m)
+            t = rs.hermitize_p(rr.gram_f64_p(xf, hxf))
+            g = rs.hermitize_p(rr.gram_f64_p(xf, xf))
+            theta, c = rs.pencil_f64_embedding(t, g)
+
+            # validation of the leading nev refined modes (unpenalized
+            # quotients + residuals, f64-accumulated reductions)
+            cm_ = (c[0][:, :nev].astype(rdt), c[1][:, :nev].astype(rdt))
+            y = rr.mix_pair(cm_, xf)
+            yg = (y[0].reshape(nev, 3, n, n, n),
+                  y[1].reshape(nev, 3, n, n, n))
+            ay = flat(rs.ama_p(yg, d_a, diel, wf_, wi_), nev)
+            den = jnp.maximum(jnp.diagonal(rr.gram_f64_p(y, y)[0]), 1e-300)
+            lam_re = jnp.diagonal(rr.gram_f64_p(y, ay)[0]) / den
+            lam = (theta[:nev] - shift).astype(rdt)[:, None]
+            r = (ay[0] - lam * y[0], ay[1] - lam * y[1])
+            res_nrm = jnp.sqrt(jnp.diagonal(rr.gram_f64_p(r, r)[0]) / den)
+            return theta, lam_re, res_nrm
+
+        return jax.jit(core)
+
     def _refine_report(self, alpha, x, verbose=False,
                        raise_on_spurious=True):
-        """Run the f64 refine program; returns (report, theta, x_refined)."""
+        """Run the refine program (f64 or "light"); returns
+        (report, theta, x_refined)."""
         cfg = self.cfg
         (shift, _), pnt = set_relaxation(alpha)
         shift = shift / cfg.scal**2
         f = self._f64
         m = x.shape[0]
-        theta, lam_re, res_nrm = self._refine_jit(m)(
+        refine_jit = (self._refine_light_jit if self.refine == "light"
+                      else self._refine_jit)
+        theta, lam_re, res_nrm = refine_jit(m)(
             f["d1"], f["d0"], f["ct"],
             jnp.asarray(np.asarray(alpha, np.float64)),
             jnp.asarray(np.float64(pnt)), jnp.asarray(np.float64(shift)),

@@ -96,6 +96,37 @@ def test_f64_refine_recovers_accuracy():
     np.testing.assert_allclose(got.omega_re, ref.omega_re, atol=1e-6)
 
 
+def test_light_refine_matches_f64_refine():
+    """refine="light" (working-precision refine + f64-accumulated pencil,
+    the sweep-production validation) reproduces the emulated-f64 refine's
+    theta / quotients / residual norms on the same solve."""
+    cfg = ProblemConfig(n=8, lattice="sc_curv",
+                        diel_type="pseudochiral_crossdof", nev=4)
+    a = np.array([np.pi, 0.3, 0.0])
+    heavy = KPointSolver(cfg, dtype=jnp.complex64, real_boundary=True,
+                         refine=True)
+    r = heavy.solve(a, seed=0)
+    assert r.status in (1, 5) and not r.report.spurious
+    light = KPointSolver(cfg, dtype=jnp.complex64, real_boundary=True,
+                         refine="light")
+    rep_h, th_h, _ = heavy._refine_report(a, r.x)
+    rep_l, th_l, _ = light._refine_report(a, r.x)
+    # theta limited by the shared c64 subspace; light adds only ~1e-7
+    # f32-apply quantization on O(1) eigenvalues
+    np.testing.assert_allclose(th_l, th_h, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(rep_l.omega_re, rep_h.omega_re, atol=5e-5)
+    np.testing.assert_allclose(rep_l.omega_pnt, rep_h.omega_pnt, atol=5e-5)
+    # the spurious gate agrees, with residual norms at the same scale
+    assert not rep_l.spurious
+    np.testing.assert_allclose(rep_l.residuals, rep_h.residuals,
+                               rtol=0.2, atol=1e-5)
+
+    # end-to-end: a solve under refine="light" validates and matches
+    r_l = light.solve(a, seed=0)
+    assert r_l.status in (1, 5) and not r_l.report.spurious
+    np.testing.assert_allclose(r_l.omega_re, r.omega_re, atol=5e-5)
+
+
 def test_real_boundary_warm_start_and_batch():
     cfg = ProblemConfig(n=8, lattice="sc_flat1", nev=4)
     s = KPointSolver(cfg, dtype=jnp.complex128, real_boundary=True)

@@ -99,6 +99,49 @@ def test_fused_resid_precond_matches_unfused(rng):
         w_want[1].reshape(m, 3, d)), rtol=2e-5, atol=1e-5)
 
 
+def test_fused_resid_precond_cm_layout_matches_mc(rng):
+    """layout='cm' (component-major (3, m, Dp) HBM staging, the N=150
+    OOM fix) must be numerically identical to the validated 'mc' layout."""
+    from pcx.operators.pallas_kernels import fused_resid_precond
+
+    m, three, d = 5, 3, 1537  # not a multiple of chunk
+    mk = lambda: jnp.asarray(rng.normal(size=(m, three, d)), jnp.float32)
+    x = (mk(), mk())
+    hx = (mk(), mk())
+    lam = jnp.asarray(rng.normal(size=(m,)), jnp.float32)
+    sd = lambda: jnp.asarray(rng.normal(size=(three, d)), jnp.float32)
+    inv_diag = sd()
+    inv_sd = (sd(), sd())
+
+    args = (x, hx, lam, inv_diag, inv_sd)
+    (ar, ai), ss_a = fused_resid_precond(*args, chunk=512, interpret=True,
+                                         layout="mc")
+    (br, bi), ss_b = fused_resid_precond(*args, chunk=512, interpret=True,
+                                         layout="cm")
+    np.testing.assert_allclose(np.asarray(br), np.asarray(ar), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bi), np.asarray(ai), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ss_b), np.asarray(ss_a), rtol=1e-6)
+
+
+def test_rp_fuse_pallas_cm_layout_solve_matches_default():
+    """KPointSolver with solver_opts={'rp_fuse': 'pallas', 'rp_layout':
+    'cm'} (the N=150 memory-layout lever) reproduces the default rs
+    solve's frequencies end-to-end."""
+    from pcx.bandstructure import KPointSolver
+    from pcx.config import ProblemConfig
+
+    cfg = ProblemConfig(n=8, lattice="sc_curv", nev=4)
+    kw = dict(dtype=jnp.complex64, solver_impl="rs", real_boundary=True,
+              refine=False, tol=1e-5, maxiter=300)
+    alpha = np.array([np.pi, 0.0, 0.0])
+    r0 = KPointSolver(cfg, **kw).solve(alpha, seed=4)
+    r1 = KPointSolver(cfg, solver_opts={"rp_fuse": "pallas",
+                                        "rp_layout": "cm"},
+                      **kw).solve(alpha, seed=4)
+    assert r1.status in (1, 5)
+    np.testing.assert_allclose(r1.omega_re, r0.omega_re, atol=5e-5)
+
+
 def test_rp_fuse_pallas_solve_matches_default():
     """KPointSolver with solver_opts={'rp_fuse': 'pallas'} (fused
     residual+precond Pallas pass, interpret mode on CPU) reproduces the

@@ -50,7 +50,8 @@ err = bandgap(n={n}, lattice={lattice!r}, diel_type={diel!r},
               eps_opt={eps_opt}, output_dir={output!r}, gap={gap},
               dtype=(jnp.complex128 if cpu else jnp.complex64),
               maxiter={maxiter}, nev={nev}, k_batch={k_batch},
-              metrics_path={metrics!r}, solver_opts={solver_opts!r})
+              metrics_path={metrics!r}, solver_opts={solver_opts!r},
+              solver_kw={solver_kw!r})
 sys.exit(2 if err else 0)
 """
 
@@ -97,8 +98,17 @@ def main():
                     metavar="KEY=VAL",
                     help="extra KPointSolver solver_opts entry (repeatable),"
                          " e.g. --solver-opt dft_fuse=pallas")
+    ap.add_argument("--refine", default="light",
+                    choices=["light", "f64", "off"],
+                    help="per-point validation mode: 'light' (default for "
+                         "sweeps; working-precision refine, same 1e-3 "
+                         "spurious gate, ~1 iteration of cost) or 'f64' "
+                         "(emulated-f64 refine, ~17 s/point at N=120 on "
+                         "the tunneled TPU)")
     args = ap.parse_args()
     solver_opts = dict(parse_opt(kv) for kv in args.solver_opt) or None
+    solver_kw = {"refine": {"light": "light", "f64": True,
+                            "off": False}[args.refine]}
 
     suffix = str(args.eps_opt) if args.eps_opt else ""
     path = os.path.join(args.output, args.diel,
@@ -108,7 +118,7 @@ def main():
                            output=args.output, gap=args.gap,
                            nev=args.nev, maxiter=args.maxiter,
                            k_batch=args.k_batch, metrics=args.metrics,
-                           solver_opts=solver_opts)
+                           solver_opts=solver_opts, solver_kw=solver_kw)
 
     # Supervision (round loop, stall watchdog, outage-vs-productive budget
     # split) lives in pcx.supervisor — unit-tested with fake clocks; this
