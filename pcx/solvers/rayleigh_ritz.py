@@ -698,21 +698,36 @@ def masked_svqb_drop_p(block, mask, drop_tol, hblock=None,
 def power_method(a_func, x0: jnp.ndarray, maxiter: int = 1000,
                  tol: float = 1e-5):
     """Largest eigenvalue by the power method
-    (reference: orthogonalization.py:57-85)."""
+    (reference: orthogonalization.py:57-85).
+
+    Norms/residuals are computed via real/imag splits: complex-dtype
+    ``stablehlo.abs`` is refused by the axon TPU backend (the op behind
+    the round-3 direct-route variant failures), and ``jnp.linalg.norm``
+    lowers through it for complex operands."""
+
+    def _norm(z):
+        if jnp.iscomplexobj(z):
+            return jnp.sqrt(jnp.sum(jnp.real(z) ** 2 + jnp.imag(z) ** 2))
+        return jnp.sqrt(jnp.sum(z * z))
+
+    def _absmax(z):
+        if jnp.iscomplexobj(z):
+            return jnp.sqrt(jnp.max(jnp.real(z) ** 2 + jnp.imag(z) ** 2))
+        return jnp.max(jnp.abs(z))
 
     def body(carry):
         i, x, lam, res = carry
         ax = a_func(x)
-        lam = jnp.linalg.norm(ax.reshape(-1))
+        lam = _norm(ax.reshape(-1))
         xn = ax / lam
-        res = jnp.max(jnp.abs(ax - lam * x)) / jnp.abs(lam)
+        res = _absmax(ax - lam * x) / jnp.abs(lam)
         return i + 1, xn, lam, res
 
     def cond(carry):
         i, _, _, res = carry
         return (i < maxiter) & (res > tol)
 
-    x0 = x0 / jnp.linalg.norm(x0.reshape(-1))
+    x0 = x0 / _norm(x0.reshape(-1))
     i, x, lam, res = lax.while_loop(
         cond, body, (0, x0, jnp.asarray(0.0, x0.real.dtype),
                      jnp.asarray(jnp.inf, x0.real.dtype)))

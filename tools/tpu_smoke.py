@@ -91,13 +91,24 @@ def build_np(n, dtype):
                 shift=float(shift), x0=x0)
 
 
+def _abs2(z):
+    """|z|^2 via real/imag split: complex-dtype stablehlo.abs is the ONE
+    op the axon backend refuses that the production solvers never emit —
+    it is what killed every direct-route variant (max/gep/descent_gep and
+    the diag ladder's direct_softlock) while the KPointSolver-routed twins
+    of the same solvers compiled fine (bench_logs/variant_diag.jsonl n=32;
+    dtype-aware StableHLO diff: 'abs' on complex<f32> was the only
+    complex-op delta between the failing and passing programs)."""
+    return jnp.real(z) ** 2 + jnp.imag(z) ** 2
+
+
 def _resid_in_trace(h, x, lam, nev, m_func=None):
     xs = x[:nev]
     lamb = lam[:nev].reshape((-1,) + (1,) * (xs.ndim - 1)).astype(xs.dtype)
     mx = m_func(xs) if m_func is not None else xs
     r = h(xs) - lamb * mx
-    num = jnp.sqrt(jnp.sum(jnp.abs(r.reshape(nev, -1)) ** 2, 1))
-    den = jnp.sqrt(jnp.sum(jnp.abs(xs.reshape(nev, -1)) ** 2, 1))
+    num = jnp.sqrt(jnp.sum(_abs2(r.reshape(nev, -1)), 1))
+    den = jnp.sqrt(jnp.sum(_abs2(xs.reshape(nev, -1)), 1))
     return jnp.max(num / ((jnp.abs(lam[:nev]) + 1.0) * den))
 
 

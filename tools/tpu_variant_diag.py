@@ -14,9 +14,17 @@ attached process):
                       (isolates the boundary/symbol plumbing)
   2. pencil           jitted rs.pencil_f64_embedding alone, 24x24 pair
                       (the only dense-algebra piece unique to gep)
-  3. gep_tiny         lobpcg_gep on an explicit 3x3-block symbol operator,
-                      D = 16^3 grid, maxiter=2 (the gep while_loop alone)
-  4. gep_full         the smoke's gep core, maxiter=2 (everything)
+  3. gep_tiny         lobpcg_gep on a diagonal operator, maxiter=2
+                      (the gep while_loop alone; wts passed as an arg)
+  4. gep_full         the smoke's gep core, full solve
+  5. max_full         lobpcg_sep_max (inverse-pencil largest modes)
+  6. descent_gep_full descent_gep, full solve
+
+Round-3 root cause (dtype-aware StableHLO diff + this ladder on-chip):
+complex-dtype stablehlo.abs — emitted only by the old _resid_in_trace —
+is refused by the axon backend; closure-captured device arrays (old
+gep_tiny wts) are a second independent refusal.  Both fixed; the ladder
+re-validates every direct-route variant.
 
 Appends records to bench_logs/variant_diag.jsonl.
 """
@@ -30,7 +38,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-STAGES = ["direct_softlock", "pencil", "gep_tiny", "gep_full"]
+STAGES = ["direct_softlock", "pencil", "gep_tiny", "gep_full",
+          "max_full", "descent_gep_full"]
 
 
 def run_stage(stage: str, n: int) -> dict:
@@ -75,33 +84,38 @@ def run_stage(stage: str, n: int) -> dict:
     if stage == "gep_tiny":
         # lobpcg_gep's while_loop with a trivial spectral operator:
         # diagonal H (f32 weights), M = I + 0.5 diag, no symbols/DFT.
+        # wts crosses as an ARGUMENT — a closure-captured device array
+        # becomes a lowered constant, which the axon backend refuses
+        # (same constraint that makes KPointSolver pass diel as a pytree
+        # arg, bandstructure._jitted docstring).
         d = n ** 3
         rng = np.random.default_rng(5)
-        wts = jnp.asarray(1.0 + np.arange(3 * d) % 7, jnp.float32)
-        x0 = jnp.asarray(rng.standard_normal((8, 3 * d))
-                         + 1j * rng.standard_normal((8, 3 * d)),
-                         jnp.complex64)
+        wts = np.asarray(1.0 + np.arange(3 * d) % 7, np.float32)
+        x0 = np.asarray(rng.standard_normal((8, 3 * d))
+                        + 1j * rng.standard_normal((8, 3 * d)),
+                        np.complex64)
 
-        def core(x0_):
-            h = lambda v: v * wts
-            m_f = lambda v: v + 0.5 * v * (wts / jnp.max(wts))
+        def core(x0_, wts_):
+            h = lambda v: v * wts_
+            m_f = lambda v: v + 0.5 * v * (wts_ / jnp.max(wts_))
             p = lambda v: v
             r = lob.lobpcg_gep(h, m_f, p, x0_, 4, tol=1e-3, maxiter=2)
             return r.status, r.iterations, r.lambdas[:4].real
 
-        st, it, lam = jax.jit(boundary.real_boundary(core))(x0)
+        st, it, lam = jax.jit(boundary.real_boundary(core))(x0, wts)
         return {"ok": bool(np.isfinite(np.asarray(lam)).all()),
                 "status": Status(int(st)).name, "iters": int(it),
                 "lambdas": [float(f"{v:.5g}") for v in np.asarray(lam)]}
 
-    # direct_softlock / gep_full share the smoke env.
+    # direct_softlock / gep_full / max_full / descent_gep_full share the
+    # smoke env (and validate the complex-abs fix in _resid_in_trace).
     from tools.tpu_smoke import build_np, _resid_in_trace
     from pcx.operators import maxwell
     from pcx.operators.blocks import h_block
 
     e = build_np(n, np.complex64)
     shift = e["shift"]
-    tol, maxiter = 1e-3, (300 if stage == "direct_softlock" else 2)
+    tol, maxiter = 1e-3, 300
 
     def core(d_a, b, inv, x0, diel, mats):
         h = lambda v: maxwell.ama_bb(v, d_a, b, diel, shift=shift,
@@ -112,10 +126,15 @@ def run_stage(stage: str, n: int) -> dict:
                                         maxiter=maxiter)
             return (r.status, r.iterations, r.lambdas[:4].real,
                     _resid_in_trace(h, r.x, r.lambdas, 4))
+        if stage == "max_full":
+            r = lob.lobpcg_sep_max(h, x0[:6], 2, tol=tol, maxiter=maxiter)
+            return (r.status, r.iterations, r.lambdas[:2].real,
+                    _resid_in_trace(h, r.x, r.lambdas, 2))
         bmax = jnp.max(jnp.abs(b.diag)) + 1e-30
         m_func = lambda v: v + h_block(v, b) * (1.0 / bmax)
-        r = lob.lobpcg_gep(h, m_func, p, x0[:8], 4, tol=tol,
-                           maxiter=maxiter)
+        fn = (lob.descent_gep if stage == "descent_gep_full"
+              else lob.lobpcg_gep)
+        r = fn(h, m_func, p, x0[:8], 4, tol=tol, maxiter=maxiter)
         return (r.status, r.iterations, r.lambdas[:4].real,
                 _resid_in_trace(h, r.x, r.lambdas, 4, m_func=m_func))
 
