@@ -104,7 +104,7 @@ def _chunked_rs(h_one, m, c):
 
 _RS_CORE = ("ortho_passes", "refresh_every", "floor_patience",
             "maxstagniter", "use_p", "rr_gram", "rr_mirror", "w_cap",
-            "col_patience", "lam_tol", "lam_patience")
+            "col_patience", "lam_tol", "lam_patience", "lam_res_tol")
 _RS_FUSIONS = ("rp_fuse", "dft_fuse", "rp_layout")
 
 
@@ -358,7 +358,8 @@ class KPointSolver:
             fusion_only = sorted(k for k in ("rr_gram", "rp_fuse",
                                              "dft_fuse", "rp_layout",
                                              "w_cap", "col_patience",
-                                             "lam_tol", "lam_patience")
+                                             "lam_tol", "lam_patience",
+                                             "lam_res_tol")
                                  if k in opts)
             if fusion_only:
                 raise ValueError(
@@ -1412,6 +1413,28 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                 f"solver status {lob.Status(result.status).name}")
         if result.report is not None and result.report.spurious:
             raise RuntimeError("spurious eigenvalues")
+        # Subspace-quality gate.  The spurious check (omega_pnt vs
+        # omega_re) is blind to a solve whose terminal subspace MISSES a
+        # near-degenerate direction: the mixed vector's penalized and
+        # recomputed quotients agree while both sit O(splitting) off the
+        # true band (bcc_sg N=120 doublets, round-3: 40/91 k-points up to
+        # 9e-3 off with validations passing).  The refine's residual
+        # bounds the eigenvalue error (|theta - lambda_nearest| <= ||r||
+        # for normalized modes), i.e. a frequency-error bound of
+        # res*scal^2/(8 pi^2 omega); reject the solve when any tracked
+        # band's bound exceeds the golden-parity scale so the cold-retry
+        # path re-solves it from a fresh subspace.
+        rep = result.report
+        if rep is not None and rep.residuals is not None:
+            om = np.maximum(np.asarray(rep.omega_re, float), 0.05)
+            bound = (np.asarray(rep.residuals, float)[: len(om)]
+                     * cfg.scal**2 / (8.0 * np.pi**2 * om))
+            if float(np.max(bound)) > 2e-3:
+                b = float(np.max(bound))
+                raise RuntimeError(
+                    f"under-converged: frequency-error bound {b:.2e} "
+                    f"(band {int(np.argmax(bound))}; subspace likely "
+                    f"missing a near-degenerate direction)")
 
     committed_grp = []  # members of the CURRENT group already recorded
 
@@ -1458,6 +1481,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                 i = grp[0]
                 warm = (x_prev is not None and prev_idx is not None
                         and abs(i - prev_idx) <= 1)
+                retry_cold = False
                 try:
                     result = solver.solve(alphas[i],
                                           x0=(x_prev if warm else None),
@@ -1469,11 +1493,18 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                     # spurious subspace (the sc_curv crossdof N=120 sweep
                     # lost k=11 and k=20 this way while cold-started
                     # neighbors passed).  One fresh-start attempt here
-                    # saves a whole supervisor resume round.
+                    # saves a whole supervisor resume round.  The retry
+                    # itself runs AFTER this handler exits: inside it the
+                    # live traceback pins the failed solve's device blocks
+                    # (~2 GB at N=120), and the retry's fresh state on top
+                    # OOMed the chip (bcc_sg c22 sweep, k=7).
                     if not warm or _is_device_error(e):
                         raise
                     print(f"{YELLOW}Warm-started k={i} failed ({e}); "
                           f"retrying with a cold start{RESET}")
+                    retry_cold = True
+                if retry_cold:
+                    x_prev = None  # free the warm block before re-solving
                     result = solver.solve(alphas[i], x0=None,
                                           seed=seed + i + 10007,
                                           verbose=False)

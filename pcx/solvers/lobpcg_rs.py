@@ -64,6 +64,7 @@ def rs_solver_parts(
     col_patience: int = 0,
     lam_tol: float = 0.0,
     lam_patience: int = 3,
+    lam_res_tol: float = 1e-3,
 ):
     """Factory for the pair-layout LOBPCG as three composable traced parts:
 
@@ -126,10 +127,23 @@ def rs_solver_parts(
     1e-3 physical gate), so residual-based floor detection alone pays a
     pure tail.  At ``lam_tol = 1e-7`` the worst-case drift left on the
     table over even 100 forgone iterations is ~1e-5 relative — an order
-    below the gate.  Every stop still passes the f64 Rayleigh-quotient
-    recompute + spurious-mode validation downstream, so a premature stop
-    is recorded as a retried failure, never a corrupted library (same
-    containment argument as the hard-patience floor above).
+    below the gate.
+
+    ``lam_res_tol``: residual admissibility cap on the HEURISTIC stops
+    (the lam_tol stop and the hard-patience floor; the scale-aware-gated
+    floor is untouched).  Ritz stillness is NOT sufficient near a tight
+    band cluster: a warm-started solve parked in a subspace that misses
+    one direction of a near-degenerate doublet has near-zero Ritz
+    movement with O(splitting) residuals, and the downstream spurious
+    gate cannot see it (the mixed mode's penalized and recomputed
+    quotients agree with each other — bcc_sg N=120, round-3, 40/91
+    k-points up to 9e-3 off with validations passing).  A heuristic stop
+    is admissible only when every tracked column satisfies
+    ``res_i < lam_res_tol * 4 pi * sqrt(max(|theta_i|, 1))`` — i.e. the
+    linear eigenvalue-error bound |theta - lambda| <= ||r|| keeps the
+    frequency error below ~lam_res_tol.  Stalled-but-inadmissible solves
+    run to MAXITER and are rejected by the band-sweep's frequency-error-
+    bound gate (bandgap._accept), which cold-retries them.
     """
     if rr_gram not in ("xla", "xla9", "pallas"):
         raise ValueError(f"unknown rr_gram {rr_gram!r}")
@@ -280,7 +294,14 @@ def rs_solver_parts(
         # FLOOR result still passes the f64 recompute + spurious gate
         # before being recorded, so a premature exit cannot corrupt a
         # library — it is retried as a failure instead.
-        floored = floored | ((floor_patience > 0) & (it > 3)
+        # Heuristic-stop admissibility (factory docstring, lam_res_tol):
+        # every tracked column's residual must bound its eigenvalue error
+        # below ~lam_res_tol in frequency units, else stillness/stagnation
+        # may just mean a stuck subspace missing a clustered direction.
+        res_cap = (lam_res_tol * 4.0 * jnp.pi
+                   * jnp.sqrt(jnp.maximum(jnp.abs(s["lambdas"][:nev]), 1.0)))
+        res_cap_ok = jnp.all(res[:nev] < res_cap)
+        floored = floored | ((floor_patience > 0) & (it > 3) & res_cap_ok
                              & (it - best_it > 4 * floor_patience + 4))
         if lam_tol > 0.0:
             # Ritz-movement stop (see factory docstring): the counter is
@@ -288,7 +309,7 @@ def rs_solver_parts(
             # or plateau-exit movement resets it, so lam_patience
             # consecutive still iterations means the tracked eigenvalues
             # are converged to lam_tol relative per iteration.
-            floored = floored | ((it > 3)
+            floored = floored | ((it > 3) & res_cap_ok
                                  & (s["lam_still"] >= lam_patience))
 
         # --- per-column floor locking (col_patience > 0) -----------------
@@ -551,6 +572,7 @@ def lobpcg_sep_rs(
     col_patience: int = 0,
     lam_tol: float = 0.0,
     lam_patience: int = 3,
+    lam_res_tol: float = 1e-3,
     rr_mirror: bool = False,
 ) -> SolveResult:
     """LOBPCG on pair blocks; returns SolveResult with ``x`` as a pair.
@@ -579,5 +601,5 @@ def lobpcg_sep_rs(
         reduce_axis=reduce_axis, use_p=use_p, rr_gram=rr_gram,
         rr_mirror=rr_mirror, rp_fused=rp_fused, w_cap=w_cap,
         col_patience=col_patience, lam_tol=lam_tol,
-        lam_patience=lam_patience)
+        lam_patience=lam_patience, lam_res_tol=lam_res_tol)
     return finalize(run_to(init(x0), maxiter))

@@ -106,8 +106,12 @@ def run_stage(stage: str, n: int, m: int) -> dict:
     kw = {}
     if jax.default_backend() == "cpu":   # CPU harness test of this tool
         kw = dict(real_boundary=True, solver_impl="rs")
+    # apply_chunk=8: with the cm layout the N=150 program COMPILES but
+    # the execution still exhausted HBM (runtime RESOURCE_EXHAUSTED in
+    # seg_run, n150_diag.log 20:44-20:57); chunking the operator apply to
+    # 8 columns halves the largest in-flight DFT temporaries.
     solver = KPointSolver(cfg, dtype=jnp.complex64, maxiter=maxiter,
-                          solver_opts=opts, **kw)
+                          solver_opts=opts, apply_chunk=8, **kw)
     res = solver.solve(alpha, seed=0, validate_result=False)
     if stage.startswith("iter1"):
         return {"ok": True, "status": Status(int(res.status)).name,

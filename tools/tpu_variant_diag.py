@@ -150,6 +150,8 @@ def run_stage(stage: str, n: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--stages", default=None,
+                    help="comma list of stages to run (default: all)")
     ap.add_argument("--stage", default=None)
     ap.add_argument("--out", default="bench_logs/variant_diag.jsonl")
     ap.add_argument("--per-timeout", type=int, default=1500)
@@ -172,7 +174,8 @@ def main():
         return 0 if rec.get("ok") else 1
 
     rcs = {}
-    for stage in STAGES:
+    stages = (args.stages.split(",") if args.stages else STAGES)
+    for stage in stages:
         cmd = [sys.executable, "-u", os.path.abspath(__file__),
                "--stage", stage, "--n", str(args.n), "--out", args.out]
         print(f"# === stage {stage} ===", flush=True)
