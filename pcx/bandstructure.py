@@ -1437,6 +1437,10 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                     f"missing a near-degenerate direction)")
 
     committed_grp = []  # members of the CURRENT group already recorded
+    last_commit_t = [time.time()]  # outer wall cadence (solve + refine +
+    # retries + checkpoint IO), the number that actually bounds sweep
+    # throughput — `t =` below is the solve kernel alone and under-reports
+    # by minutes when a cold retry recompiles (sc_flat1 c24 sweep).
 
     def _commit(i, result):
         nonlocal x_prev, prev_idx
@@ -1446,10 +1450,13 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                                                alphas[i], result))
         x_prev, prev_idx = result.x, i
         if verbose:
+            now = time.time()
             print(f"Gap {i + 1}/{n_k} ({lattice}), "
                   f"alpha/pi = {np.round(alphas[i] / np.pi, 3)}: "
                   f"iters = {result.iterations}, "
-                  f"t = {result.wall_time:<6.2f}s")
+                  f"t = {result.wall_time:<6.2f}s, "
+                  f"wall = {now - last_commit_t[0]:.1f}s")
+            last_commit_t[0] = now
 
     def _is_device_error(e):
         msg = str(e)
