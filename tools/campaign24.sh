@@ -13,13 +13,23 @@ cd /root/repo
 mkdir -p bench_logs
 
 DEADLINE=${CAMPAIGN24_DEADLINE:?set CAMPAIGN24_DEADLINE}
+# Live-extendable: the builder re-ups the deadline by writing a new epoch
+# to /tmp/campaign24.deadline while its session stays alive; sweeps
+# themselves are bounded by the CURRENT deadline at launch time, so the
+# tunnel frees within one stall-kill of the last re-up lapsing.
+deadline_now() {
+    local d
+    d=$(cat /tmp/campaign24.deadline 2>/dev/null || true)
+    case "$d" in (''|*[!0-9]*) d=$DEADLINE;; esac
+    [ "$d" -gt "$DEADLINE" ] && echo "$d" || echo "$DEADLINE"
+}
 MARGIN=240
 ATT=bench_logs/campaign15_attempts.txt
 touch "$ATT"
 OUTER=bench_logs/campaign24_outer.log
 echo $$ > /tmp/campaign24.pid
 
-remaining() { echo $(( DEADLINE - $(date +%s) - MARGIN )); }
+remaining() { echo $(( $(deadline_now) - $(date +%s) - MARGIN )); }
 note() { echo "### $(date -u +%H:%M:%S) $*" | tee -a "$OUTER"; }
 
 lib_state() { [ -f "$1" ] && md5sum "$1" | cut -d' ' -f1 || echo absent; }
@@ -58,8 +68,8 @@ for line in open("bench_logs/campaign15_attempts.txt"):
 for n, lat, diel, eps in QUEUE:
     key = f"c24_{n}_{lat}_{diel}_{eps}"
     att = attempts.get(key, 0)
-    if att >= 2:
-        continue
+    if att >= 6:  # chunked sweeps under a live-extended deadline revisit
+        continue  # a library several times; only cap pathological configs
     suf = str(eps) if eps else ""
     path = f"output_c64/{diel}/bandgap_{lat}{suf}.json"
     if not os.path.exists(path):
@@ -91,6 +101,8 @@ run_one_sweep() {  # N LAT DIEL EPS ; returns 1 if no progress
     local BEFORE AFTER T LOG
     BEFORE=$(lib_state "$LIB")
     T=$(remaining); [ "$T" -lt 60 ] && return 1
+    # chunk sweeps so the loop re-reads the live deadline every <=40 min
+    [ "$T" -gt 2400 ] && T=2400
     LOG="bench_logs/sweep_${LAT}${N}_${DIEL}${SUF}_c24.log"
     note "c24 sweep $LAT N=$N $DIEL eps$EPS (timeout ${T}s)" | tee -a "$LOG"
     timeout "$T" python -u tools/run_sweep.py --n "$N" --lattice "$LAT" \
