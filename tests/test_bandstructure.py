@@ -385,8 +385,39 @@ def test_committed_libraries_match_reference_goldens():
             if not mask.any():
                 continue
             dev = np.abs(a - b)[mask].max()
-            assert dev < 8e-3, (path, key, dev)
+            lattice = key.rsplit("_", 2)[0]
+            assert dev < golden_threshold(diel, lattice), (path, key, dev)
             checked += 1
     # round-2's two chiral keys + round-3's crossdof sc_curv and
     # fast-lever fcc must all be present and compared
     assert checked >= 4, checked
+
+
+def golden_threshold(diel: str, lattice: str) -> float:
+    """Max |omega - omega_ref| allowed against a committed reference band
+    library, per (dielectric type, lattice).
+
+    Default 3.6e-3: the observed c64-solve + identical-discretization
+    convergence-floor scale at N=120 (BENCH_NOTES.md round-3 adjudication;
+    worst accepted committed value 3.51e-3, chiral sc_curv).  The gyroid
+    lattices get a documented exception: their near-degenerate doublet
+    bands are under-converged in the COMMITTED reference data itself
+    (reference TOL=1e-4 leaves the doublet splitting unresolved; pcx's
+    independently refined values sit up to 5.13e-3 from the committed
+    bcc_sg rows with both sides' self-validations passing — BENCH_NOTES.md
+    round-3 "bcc_sg golden adjudication").  A real 5e-3 regression in any
+    non-gyroid library now fails instead of hiding under the old blanket
+    8e-3 gate."""
+    if lattice in ("bcc_sg", "bcc_dg", "bcc_single_gyroid",
+                   "bcc_double_gyroid"):
+        return 8e-3
+    return 3.6e-3
+
+
+def test_golden_threshold_rejects_synthetic_regression(tmp_path):
+    """A synthetic 5e-3 perturbation of a non-gyroid library must trip the
+    per-library gate (the round-3 blanket 8e-3 would have passed it)."""
+    assert 5e-3 >= golden_threshold("chiral", "sc_curv")
+    assert 5e-3 >= golden_threshold("pseudochiral_trivial", "fcc")
+    # ... while the documented gyroid-doublet exception still stands.
+    assert 5.2e-3 < golden_threshold("chiral", "bcc_sg")
