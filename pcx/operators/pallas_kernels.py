@@ -210,9 +210,11 @@ def fused_resid_precond(x, hx, lam, inv_diag, inv_sd, chunk: int = 2048,
     the largest allocations in the program (the N=150 iter1 compile OOMed
     by 27.6 MB while two such 824 MB buffers carried 206 MB of pure
     padding each).  Component-major keeps the (m, Dp) trailing dims on the
-    native T(8, 128) tile at <0.01% padding.  Default stays "mc" (the
-    round-2 on-chip-validated layout) until "cm" is Mosaic-validated on
-    the axon backend; flip via solver_opts {"rp_layout": "cm"}."""
+    native T(8, 128) tile at <0.01% padding.  "cm" is the production
+    default since the on-device A/B validated it (bench_logs/ab_tpu7:
+    452.9 vs 467.2 ms/iter, validation 8.3e-8) — it also reclaims the
+    ~412 MB of tile padding that kept N=150 27.6 MB over the v5e HBM
+    budget; "mc" remains selectable via solver_opts {"rp_layout": "mc"}."""
     cm = layout == "cm"
     m, three, d = x[0].shape
     assert three == 3

@@ -121,7 +121,6 @@ def run_variants(n, dtype, tol, maxiter, names):
     from pcx.solvers import lobpcg as lob
     from pcx.solvers.lobpcg import Status
 
-    ok_status = (Status.CONVERGED, Status.FLOOR, Status.MAXITER)
     kps_route = {"softlock", "nolock", "mixed", "descent", "davidson", "jd"}
     env = None
     cores = {}
@@ -207,13 +206,25 @@ def run_variants(n, dtype, tol, maxiter, names):
             else:
                 st, it, resid, lam = run_direct(name)
             lam = np.asarray(lam, np.float64)
+            # MAXITER alone is NOT a pass (VERDICT r3 weak #7): it only
+            # counts when the run's accuracy metric clears a gate —
+            # omega-vs-omega_re deviation < 1e-3 for KPointSolver-routed
+            # variants (the production spurious gate), relative residual
+            # < 10*tol for the direct/explicit cores (slow-by-design
+            # variants like descent legitimately end MAXITER at high
+            # accuracy within the smoke's iteration budget).
+            gate = 1e-3 if name in kps_route else 10.0 * tol
+            converged = int(st) in (int(Status.CONVERGED), int(Status.FLOOR))
+            validated = bool(np.isfinite(resid) and resid < gate)
             rec = {"variant": name, "n": n,
-                   "ok": bool((int(st) in [int(s) for s in ok_status])
+                   "ok": bool((converged or
+                               (int(st) == int(Status.MAXITER) and validated))
                               and np.isfinite(lam).all()),
                    "status": Status(int(st)).name,
                    "iters": int(it),
                    "seconds": round(time.time() - t0, 2),
-                   "rel_residual": float(f"{resid:.3e}"),
+                   ("validation" if name in kps_route else "rel_residual"):
+                       float(f"{resid:.3e}"),
                    "lambdas": [float(f"{v:.6g}") for v in lam[:6]]}
         except Exception as e:  # noqa: BLE001 — smoke must report, not die
             rec = {"variant": name, "n": n, "ok": False,
