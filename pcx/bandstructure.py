@@ -1415,6 +1415,22 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
     x_prev = None
     prev_idx = None
 
+    # Rows that already failed on a PREVIOUS run get a fresh per-run seed
+    # salt: retry seeds were fully determined by (seed, i) before, so a
+    # numerically deterministic failure (e.g. sc_flat1 N=120 k=0,
+    # under-converged band 9 in two consecutive campaigns) would repeat
+    # identically every supervisor round and the row could never heal.
+    failed_before = set(lib.failed_indices())
+    salt = 0
+    if failed_before:
+        salt = int(np.random.SeedSequence().entropy % 100003) or 1
+        if verbose:
+            print(f"{YELLOW}{len(failed_before)} previously-failed rows "
+                  f"will retry with seed salt {salt}{RESET}")
+
+    def _seed_for(i):
+        return seed + i + (salt if i in failed_before else 0)
+
     def _accept(result):
         # Backstop: a MAXITER solve whose recomputed f64 residuals and
         # spurious gate pass is physically valid — the c64 floor was
@@ -1502,7 +1518,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                        if (x_prev is not None and prev_idx is not None
                            and abs(grp[0] - prev_idx) <= 1) else None)
                 results = solver.solve_batch([alphas[i] for i in grp],
-                                             x0s=x0s, seed=seed + grp[0],
+                                             x0s=x0s, seed=_seed_for(grp[0]),
                                              mesh=mesh)
                 for i, result in zip(grp, results):
                     _accept(result)
@@ -1515,7 +1531,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                 try:
                     result = solver.solve(alphas[i],
                                           x0=(x_prev if warm else None),
-                                          seed=seed + i, verbose=False)
+                                          seed=_seed_for(i), verbose=False)
                     _accept(result)
                 except Exception as e:
                     # Immediate cold retry: the dominant numerical failure
@@ -1536,7 +1552,7 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                 if retry_cold:
                     x_prev = None  # free the warm block before re-solving
                     result = solver.solve(alphas[i], x0=None,
-                                          seed=seed + i + 10007,
+                                          seed=_seed_for(i) + 10007,
                                           verbose=False)
                     _accept(result)
                 _commit(i, result)
