@@ -292,6 +292,32 @@ def test_solve_batch_segmented_matches_oneshot():
         np.testing.assert_allclose(b.omega_re, a.omega_re, atol=1e-8)
 
 
+def test_warm_maxiter_caps_warm_solves_only():
+    """warm_maxiter cuts off WARM-started segmented solves host-side (no
+    recompile); cold solves keep the full maxiter budget.  (A warm chain
+    stuck on a mixed subspace otherwise burns to maxiter=500 at ~0.5
+    s/iter on the TPU before the sweep's acceptance gate rejects it.)"""
+    import jax.numpy as jnp
+    from pcx.config import ProblemConfig
+    from pcx.solvers.lobpcg import Status
+    cfg = ProblemConfig(n=8, lattice="sc_flat1", nev=4)
+    kw = dict(dtype=jnp.complex128, solver_impl="rs", real_boundary=True,
+              refine=False, segment_iters=4)
+    alpha = np.array([np.pi, 0, 0])
+    solver = bs.KPointSolver(cfg, solver_opts={"warm_maxiter": 8}, **kw)
+    cold = solver.solve(alpha, seed=1, validate_result=False)
+    assert cold.iterations > 8          # full budget on the cold solve
+    # Warm start from a RANDOM block (not the converged cold block) so the
+    # solve genuinely needs many iterations: the cap must fire.
+    import jax
+    x0 = jax.random.normal(
+        jax.random.PRNGKey(0), (cold.x.shape[0],) + cold.x.shape[1:],
+        dtype=jnp.float64).astype(jnp.complex128)
+    warm = solver.solve(alpha, x0=x0, validate_result=False)
+    assert warm.iterations <= 8
+    assert warm.status == Status.MAXITER
+
+
 def test_solver_lever_opts_preserve_frequencies():
     """The per-iteration A/B levers (refresh_every, ortho_passes,
     floor_patience, rr_gram='xla9') are pure cost/termination knobs: each
