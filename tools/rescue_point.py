@@ -94,10 +94,15 @@ def main():
     # No fast termination levers on rescue steps: robustness over speed
     # (and the lever opts are rs-solver-only, unavailable on the CPU
     # harness path).
+    # f64 segment length: the tunneled TPU kills programs that EXECUTE
+    # >~60 s; f64-pair iterations run ~4-6 s each at N=120 (VPU-emulated
+    # f64), so 8 iterations/segment stays well under the limit.
+    f64_kw = {} if cpu else {"segment_iters": 8}
     ladder = {
         "coarse": dict(dtype=c64, solver_kw={"x0_mode": coarse},
                        solver_opts=None),
-        "f64": dict(dtype=jnp.complex128, solver_kw={}, solver_opts=None),
+        "f64": dict(dtype=jnp.complex128, solver_kw=f64_kw,
+                    solver_opts=None),
     }
 
     for step in args.steps:
