@@ -840,11 +840,33 @@ class KPointSolver:
         (_, rlx), _ = set_relaxation(alpha)
         return block_width(self.cfg.nev, rlx)
 
+    @property
+    def _pair_x0(self) -> bool:
+        """Build cold-start blocks as (..., 2) real PAIRS with no complex
+        ops in the program: the accelerator f64 path (dtype=complex128
+        under the real boundary) must never materialize complex128 on
+        device — the backend's x64 rewriter refuses it mid-program
+        (RET_CHECK x64_rewriter.cc: 'operand is not a tuple
+        (c128[16,3,120,120,120])', hit by the plane-wave jitter add)."""
+        return (self.rb
+                and jnp.dtype(self.dtype) == jnp.dtype(jnp.complex128)
+                and jax.default_backend() != "cpu")
+
     @lru_cache(maxsize=8)
     def _x0gen(self, m: int):
         """Jitted random-block generator (device-side RNG; in real-boundary
         mode the block leaves the program as (..., 2) reals)."""
         n, dt = self.cfg.n, self.dtype
+        if self._pair_x0:
+            rdt = jnp.float64
+            shape = (m, 3, n, n, n)
+
+            def gen_ri(key):
+                k1, k2 = jax.random.split(key)
+                return boundary.CArr(jnp.stack(
+                    (jax.random.uniform(k1, shape, dtype=rdt),
+                     jax.random.uniform(k2, shape, dtype=rdt)), axis=-1))
+            return jax.jit(gen_ri)
         gen = lambda key: maxwell.random_block(key, n, m, dt)
         return jax.jit(boundary.real_boundary(gen) if self.rb else gen)
 
@@ -854,6 +876,20 @@ class KPointSolver:
         block ON DEVICE from (m,) indices + (m, 3) amplitudes (nothing
         block-sized crosses the host link)."""
         n = self.cfg.n
+        if self._pair_x0:
+            jitter = 1e-2
+
+            def gen_ri(idx, amps_ri, key):
+                vec = jnp.zeros((m, 3, n * n * n, 2), jnp.float64)
+                vec = vec.at[jnp.arange(m), :, idx, :].set(amps_ri)
+                x0 = vec.reshape(m, 3, n, n, n, 2)
+                k1, k2 = jax.random.split(key)
+                noise = jnp.stack(
+                    (jax.random.uniform(k1, x0.shape[:-1], jnp.float64),
+                     jax.random.uniform(k2, x0.shape[:-1], jnp.float64)),
+                    axis=-1)
+                return boundary.CArr(x0 + jitter * noise)
+            return jax.jit(gen_ri)
         gen = lambda idx, amps, key: maxwell.plane_wave_scatter(
             idx, amps, n, jitter_key=key)
         return jax.jit(boundary.real_boundary(gen) if self.rb else gen)
@@ -902,6 +938,11 @@ class KPointSolver:
                                   np.asarray(alpha, float),
                                   scal=1.0) / cfg.scal
         idx, amps = maxwell.plane_wave_cols(d_a_np, m)
+        if self._pair_x0:
+            amps_ri = np.stack((amps.real, amps.imag),
+                               axis=-1).astype(np.float64)
+            return self._pwgen(m)(jnp.asarray(idx), jnp.asarray(amps_ri),
+                                  jax.random.PRNGKey(seed))
         amps = self._place(amps.astype(np.complex128))
         return self._pwgen(m)(jnp.asarray(idx), amps,
                               jax.random.PRNGKey(seed))
