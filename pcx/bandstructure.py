@@ -880,15 +880,20 @@ class KPointSolver:
             jitter = 1e-2
 
             def gen_ri(idx, amps_ri, key):
-                vec = jnp.zeros((m, 3, n * n * n, 2), jnp.float64)
-                vec = vec.at[jnp.arange(m), :, idx, :].set(amps_ri)
-                x0 = vec.reshape(m, 3, n, n, n, 2)
+                # re/im as SEPARATE planes, stacked only at the output:
+                # a (..., n^3, 2) intermediate gets the trailing 2-axis
+                # tile-padded to 128 on this backend (observed: a 663 MB
+                # zeros broadcast laid out T(2,128) at 28 GB).
+                def plane(a_comp, k):
+                    vec = jnp.zeros((m, 3, n * n * n), jnp.float64)
+                    vec = vec.at[jnp.arange(m), :, idx].set(a_comp)
+                    noise = jax.random.uniform(k, (m, 3, n * n * n),
+                                               jnp.float64)
+                    return (vec + jitter * noise).reshape(m, 3, n, n, n)
                 k1, k2 = jax.random.split(key)
-                noise = jnp.stack(
-                    (jax.random.uniform(k1, x0.shape[:-1], jnp.float64),
-                     jax.random.uniform(k2, x0.shape[:-1], jnp.float64)),
-                    axis=-1)
-                return boundary.CArr(x0 + jitter * noise)
+                return boundary.CArr(jnp.stack(
+                    (plane(amps_ri[..., 0], k1),
+                     plane(amps_ri[..., 1], k2)), axis=-1))
             return jax.jit(gen_ri)
         gen = lambda idx, amps, key: maxwell.plane_wave_scatter(
             idx, amps, n, jitter_key=key)
