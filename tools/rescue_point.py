@@ -49,8 +49,9 @@ def main():
     ap.add_argument("--indices", type=int, nargs="*", default=None,
                     help="k-point indices to rescue (default: the "
                          "library's failed rows)")
-    ap.add_argument("--steps", nargs="*", default=["coarse", "f64"],
-                    choices=["coarse", "f64"])
+    ap.add_argument("--steps", nargs="*", default=["refine64", "coarse",
+                                                   "f64"],
+                    choices=["refine64", "coarse", "f64"])
     ap.add_argument("--coarse-n", type=int, default=0,
                     help="coarse grid size (default n//2)")
     ap.add_argument("--cpu", action="store_true")
@@ -96,9 +97,19 @@ def main():
     # harness path).
     # f64 segment length: the tunneled TPU kills programs that EXECUTE
     # >~60 s; f64-pair iterations run ~4-6 s each at N=120 (VPU-emulated
-    # f64), so 8 iterations/segment stays well under the limit.
+    # f64), so 8 iterations/segment stays well under the limit.  NOTE the
+    # full-f64 solve currently exceeds HBM at N=120 (the f64-emulated
+    # full-width Grams materialize ~2.5 GB limb temps x4); refine64 and
+    # coarse are the practical steps until the rs Grams stream in f64.
     f64_kw = {} if cpu else {"segment_iters": 8}
     ladder = {
+        # c64 solve + f64 Rayleigh-Ritz refine: the refine re-diagonalizes
+        # the projected pencil in STREAMED f64 (production machinery,
+        # ~17 s/point) — recovers the subspace's true accuracy from the
+        # c64 noise floor, which is exactly what the near-Gamma
+        # under-convergence gate measures.
+        "refine64": dict(dtype=c64, solver_kw={"refine": True},
+                         solver_opts=None),
         "coarse": dict(dtype=c64, solver_kw={"x0_mode": coarse},
                        solver_opts=None),
         "f64": dict(dtype=jnp.complex128, solver_kw=f64_kw,
