@@ -521,7 +521,16 @@ def lobpcg_gep(
     def body_fun(s):
         it = s.it
         r = s.lambdas.reshape(bshape).astype(cdtype) * s.mx - s.hx
-        res = norms(r)
+        # Per-column RELATIVE residual: after the Rayleigh-Ritz mix the
+        # columns are M-orthonormal, not 2-orthonormal, so their 2-norms
+        # carry the pencil's scale.  In the inverse (max-eigenvalue)
+        # formulation I x = mu H x that scale is ||x|| ~ 1/sqrt(lambda)
+        # ~ 1e-3, and an ABSOLUTE test `norms(r) < tol` fires at the
+        # first iteration while lambda_max is still 35% wrong (found by
+        # the smoke's power-method cross-check).  Dividing by the column
+        # norms makes the test scale-invariant; for the standard GEP use
+        # (M = I + B/bmax, columns O(1)) it is numerically unchanged.
+        res = norms(r) / jnp.maximum(norms(s.x), tiny)
         res_his = s.res_his.at[it].set(jnp.linalg.norm(res[:nev]))
         is_nan = jnp.isnan(res).any()
         converged = jnp.max(res[:nev]) < tol
