@@ -296,6 +296,29 @@ def test_sep_max_embedding_pencil(rng):
     np.testing.assert_allclose(lam, want, rtol=1e-4)
 
 
+def test_sep_max_loose_tol_no_false_convergence(rng):
+    """Regression (round 4): at a LOOSE tolerance and a large spectral
+    scale, max-mode must not stop at iteration ~1 with a wrong lambda_max.
+    The inverse formulation's M-orthonormal columns have 2-norm
+    ~ 1/sqrt(lambda) (~3e-3 here), so an ABSOLUTE residual test fires
+    immediately; the per-column RELATIVE test keeps iterating.  Observed
+    pre-fix: CONVERGED at iter 1, lambda 35% below truth (the N=24
+    Maxwell operator showed the same signature via the smoke's
+    power-method cross-check)."""
+    n, nev = 80, 2
+    a = _random_hpd(n, rng)
+    a = a * (1e5 / np.max(np.linalg.eigvalsh(a)))  # lambda_max = 1e5
+    want = np.sort(np.linalg.eigvalsh(a))[-nev:][::-1]
+    aj = jnp.asarray(a)
+    x0 = jnp.asarray(rng.normal(size=(nev + 4, n))
+                     + 1j * rng.normal(size=(nev + 4, n)))
+    res = lob.lobpcg_sep_max(lambda v: v @ aj.T, x0, nev, tol=1e-3,
+                             maxiter=600)
+    lam = np.sort(np.asarray(res.lambdas))[::-1][:nev]
+    assert int(res.iterations) > 2
+    np.testing.assert_allclose(lam, want, rtol=1e-2)
+
+
 def test_floor_status_at_unattainable_tol():
     """With an unattainable tolerance the c64 production solver must stop
     via the scale-aware FLOOR gate soon after stagnating at its attainable
