@@ -1606,6 +1606,36 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                 i = grp[0]
                 warm = (x_prev is not None and prev_idx is not None
                         and abs(i - prev_idx) <= 1)
+                if not warm and i in failed_before:
+                    # Warm-feeder retry: a failed row resumed in isolation
+                    # has no warm chain, yet cold starts are exactly how it
+                    # failed before (near-Gamma points with a ~0 doublet,
+                    # e.g. sc_flat1 N=120 k=0, burn maxiter from every cold
+                    # seed).  Re-solve an already-COMPUTED neighbor (not
+                    # recorded — the library row stays untouched) and
+                    # warm-start the retry from its subspace, the same
+                    # mechanism that lets mid-sweep points converge in
+                    # 13-50 iterations.  Feeder failures fall back to the
+                    # cold retry path.
+                    done = {k for k, rec in enumerate(lib.iterations)
+                            if rec[0] > 0}
+                    for j in (i + 1, i - 1):
+                        if 0 <= j < n_k and j in done:
+                            try:
+                                feeder = solver.solve(
+                                    alphas[j], x0=None, seed=_seed_for(i),
+                                    verbose=False)
+                            except Exception as e:  # noqa: BLE001
+                                if _is_device_error(e):
+                                    raise
+                                break
+                            if verbose:
+                                print(f"{YELLOW}k={i}: warm-feeder solve of "
+                                      f"computed neighbor k={j} "
+                                      f"({feeder.iterations} iters){RESET}")
+                            x_prev, prev_idx = feeder.x, j
+                            warm = True
+                            break
                 retry_cold = False
                 try:
                     result = solver.solve(alphas[i],

@@ -61,6 +61,35 @@ def test_bandgap_sweep_and_resume(tmp_path):
     assert np.isfinite(f).all() and (f >= 0).all()
 
 
+def test_failed_row_retry_uses_warm_feeder(tmp_path, capsys):
+    """An isolated FAILED row resumed with no warm chain must first
+    re-solve a computed neighbor (not recorded) and warm-start the retry
+    from its subspace — cold retries are how near-Gamma rows fail
+    repeatedly (sc_flat1 N=120 k=0, round 4)."""
+    out = str(tmp_path / "output")
+    kw = dict(n=8, lattice="sc_flat1", diel_type="chiral", output_dir=out,
+              nev=4, gap=4)
+    err = bs.bandgap(indices=[0, 1, 2], verbose=False, **kw)
+    assert err == []
+    path = f"{out}/chiral/bandgap_sc_flat1.json"
+    lib = BandLibrary(path, "sc_flat1", 8, 16, 4)
+    row1_before = list(lib.frequencies[1])
+    # Corrupt row 0 into the FAILED sentinel and resume just the retry.
+    lib.record(0, -1, -1, None)
+    lib2 = BandLibrary(path, "sc_flat1", 8, 16, 4)
+    assert lib2.failed_indices() == [0]
+    err = bs.bandgap(indices=[0], verbose=True, **kw)
+    assert err == []
+    captured = capsys.readouterr().out
+    assert "warm-feeder solve of computed neighbor k=1" in captured
+    lib3 = BandLibrary(path, "sc_flat1", 8, 16, 4)
+    assert lib3.failed_indices() == []
+    f0 = np.array(lib3.frequencies[0])
+    assert np.isfinite(f0).all() and (f0 >= 0).all()
+    # The feeder solve must NOT have overwritten the neighbor's row.
+    assert list(lib3.frequencies[1]) == row1_before
+
+
 @pytest.mark.slow
 def test_bandgap_k_batch_matches_serial(tmp_path):
     """k_batch>1 sweeps through the vmapped path and writes the same
