@@ -82,14 +82,34 @@ def core_for(name, n=16, tol=1e-3, maxiter=50):
 
 
 OP_RE = re.compile(r"(?:^|[= ])(stablehlo\.[a-z_0-9]+|chlo\.[a-z_0-9]+)")
+ELEM_RE = re.compile(r"tensor<(?:([0-9x?]+)x)?([a-z0-9<>]+)>")
+
+
+def _sig(line):
+    """Element types + ranks on the line (dims themselves dropped):
+    'f64r2' for tensor<8x8xf64>."""
+    out = set()
+    for dims, elem in ELEM_RE.findall(line):
+        rank = 0 if not dims else dims.count("x") + 1
+        out.add(f"{elem}r{rank}")
+    return ",".join(sorted(out))
 
 
 def opset(name):
+    """Dtype-aware op keys: the axon backend refuses OP+DTYPE combos
+    (e.g. stablehlo.abs on complex<f32> while real abs is fine — the
+    round-3 direct-route failure), so a pure mnemonic diff can come back
+    empty against passing programs that use the same mnemonic on other
+    dtypes.  Key = 'op:elemtypes' with elemtypes the sorted set of
+    element types on the op's line."""
     fn, args = core_for(name)
     txt = fn.lower(*args).as_text()
     ops = defaultdict(int)
-    for m in OP_RE.finditer(txt):
-        ops[m.group(1)] += 1
+    for line in txt.splitlines():
+        m = OP_RE.search(line)
+        if not m:
+            continue
+        ops[f"{m.group(1)}:{_sig(line)}"] += 1
     return dict(ops)
 
 

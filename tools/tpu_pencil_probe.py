@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""On-device bisection of the max/gep/descent_gep TPU refusal.
+
+The dtype+rank-aware StableHLO diff (tools/hlo_opdiff.py) shows NO op
+delta between the failing direct-route variants and the TPU-passing
+programs — the refusal is structural.  The one component ALL THREE
+failing variants share and NO passing program contains is
+``rs.pencil_f64_embedding`` (the GEP small-pencil solver).  This ladder
+compiles ever-larger pieces of it on the chip, each in a subprocess:
+
+  p0_eigh_f64        jnp.linalg.eigh on a plain f64 matrix (baseline —
+                     the production RR uses this and passes)
+  p1_emb_eigh        eigh of the 2mx2m *-algebra embedding
+  p2_whiten          + Loewdin inverse-sqrt whitening (two f64 matmuls)
+  p3_pencil_full     rs.pencil_f64_embedding end to end
+  p4_gep_tiny        lobpcg_gep on an explicit 48x48 pencil (no Maxwell
+                     apply) — pencil in its real calling context
+  p5_gep_chol        same but rr_pencil="chol" (complex Cholesky path,
+                     expected refused; recorded for the parity table)
+
+Appends to bench_logs/pencil_probe.jsonl.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+STAGES = ["p0_eigh_f64", "p1_emb_eigh", "p2_whiten", "p3_pencil_full",
+          "p4_gep_tiny", "p5_gep_chol"]
+
+
+def run_stage(stage: str) -> dict:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache")
+    import numpy as np
+    import jax
+    if os.environ.get("PCX_PROBE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from pcx import boundary
+    from pcx.operators import rs
+
+    m = 12
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    b = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    t_h = (a @ a.conj().T + np.eye(m)).astype(np.complex128)
+    g_h = (b @ b.conj().T + 10 * np.eye(m)).astype(np.complex128)
+    tp = (jnp.asarray(t_h.real), jnp.asarray(t_h.imag))
+    gp = (jnp.asarray(g_h.real), jnp.asarray(g_h.imag))
+
+    emb = lambda p: jnp.block([[p[0], -p[1]], [p[1], p[0]]])
+
+    if stage == "p0_eigh_f64":
+        fn = jax.jit(lambda g: jnp.linalg.eigh(emb(g))[0].sum())
+        v = fn(gp)
+        return {"ok": True, "value": float(v)}
+
+    if stage == "p1_emb_eigh":
+        def core(g):
+            ge = emb(g)
+            lam, u = jnp.linalg.eigh(ge)
+            return lam.sum() + jnp.abs(u).max()
+        return {"ok": True, "value": float(jax.jit(core)(gp))}
+
+    if stage == "p2_whiten":
+        def core(g, t):
+            ge, te = emb(g), emb(t)
+            lam, u = jnp.linalg.eigh(ge)
+            alive = lam > 1e-12 * jnp.max(lam)
+            inv_sqrt = jnp.where(
+                alive, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-300)), 0.0)
+            s = (u * inv_sqrt[None, :]) @ u.T
+            tw = s @ te @ s
+            return jnp.abs(tw).max()
+        return {"ok": True, "value": float(jax.jit(core)(gp, tp))}
+
+    if stage == "p3_pencil_full":
+        def core(g, t):
+            theta, c = rs.pencil_f64_embedding(t, g)
+            return theta.sum() + jnp.abs(c[0]).max()
+        return {"ok": True, "value": float(jax.jit(core)(gp, tp))}
+
+    # p4/p5: gep on an explicit pencil, no Maxwell operator.
+    from pcx.solvers import lobpcg as lob
+    n, nev = 48, 3
+    aa = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    bb = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a_h = (aa @ aa.conj().T + np.eye(n)).astype(np.complex64)
+    b_h = (bb @ bb.conj().T + 10 * np.eye(n)).astype(np.complex64)
+    x0 = (rng.standard_normal((nev + 3, n))
+          + 1j * rng.standard_normal((nev + 3, n))).astype(np.complex64)
+    pencil_kind = "chol" if stage == "p5_gep_chol" else "embedding"
+
+    def core(a_, b_, x_):
+        r = lob.lobpcg_gep(lambda v: v @ a_.T, lambda v: v @ b_.T,
+                           lambda v: v, x_, nev, tol=1e-4, maxiter=60,
+                           rr_pencil=pencil_kind)
+        return r.status, r.iterations, r.lambdas[:nev].real
+
+    st, it, lam = jax.jit(boundary.real_boundary(core))(a_h, b_h, x0)
+    import scipy.linalg as sla
+    want = np.sort(sla.eigh(np.asarray(a_h, np.complex128),
+                            np.asarray(b_h, np.complex128),
+                            eigvals_only=True))[:nev]
+    dev = float(np.max(np.abs(np.sort(np.asarray(lam, np.float64))
+                              - want) / np.abs(want)))
+    return {"ok": dev < 1e-2, "status": int(st), "iters": int(it),
+            "rel_dev": float(f"{dev:.3e}")}
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default=None)
+    ap.add_argument("--out", default="bench_logs/pencil_probe.jsonl")
+    ap.add_argument("--per-timeout", type=int, default=420)
+    ap.add_argument("--stages", nargs="*", default=None)
+    args = ap.parse_args()
+
+    if args.stage:
+        t0 = time.time()
+        try:
+            rec = run_stage(args.stage)
+        except Exception as e:  # noqa: BLE001
+            rec = {"ok": False, "error": str(e)[:300]}
+        rec.update(stage=args.stage, seconds=round(time.time() - t0, 2))
+        print(json.dumps(rec), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return 0 if rec.get("ok") else 1
+
+    for stage in (args.stages or STAGES):
+        cmd = [sys.executable, "-u", os.path.abspath(__file__),
+               "--stage", stage, "--out", args.out]
+        print(f"# === {stage} [{time.strftime('%H:%M:%S')}] ===", flush=True)
+        try:
+            rc = subprocess.run(cmd, timeout=args.per_timeout).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+            with open(args.out, "a") as f:
+                f.write(json.dumps({"stage": stage, "ok": False,
+                                    "error": "timeout"}) + "\n")
+        print(f"# {stage}: rc={rc}", flush=True)
+        time.sleep(20)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
