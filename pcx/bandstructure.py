@@ -687,8 +687,8 @@ class KPointSolver:
                 r_re = ax[0] - lam_oc * xr[0]
                 r_im = ax[1] - lam_oc * xr[1]
                 res = jnp.sqrt(jnp.sum(r_re ** 2 + r_im ** 2, axis=1)
-                               / jnp.maximum(den, 1e-300))
-                lam_re = num / jnp.maximum(den, 1e-300)
+                               / jnp.maximum(den, 1e-30))
+                lam_re = num / jnp.maximum(den, 1e-30)
                 return (lax.dynamic_update_slice(lam_re_all, lam_re,
                                                  (oc * vw,)),
                         lax.dynamic_update_slice(res_all, res, (oc * vw,)))
@@ -743,7 +743,7 @@ class KPointSolver:
             yg = (y[0].reshape(nev, 3, n, n, n),
                   y[1].reshape(nev, 3, n, n, n))
             ay = flat(rs.ama_p(yg, d_a, diel, wf_, wi_), nev)
-            den = jnp.maximum(jnp.diagonal(rr.gram_f64_p(y, y)[0]), 1e-300)
+            den = jnp.maximum(jnp.diagonal(rr.gram_f64_p(y, y)[0]), 1e-30)
             lam_re = jnp.diagonal(rr.gram_f64_p(y, ay)[0]) / den
             lam = (theta[:nev] - shift).astype(rdt)[:, None]
             r = (ay[0] - lam * y[0], ay[1] - lam * y[1])

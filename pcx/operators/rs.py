@@ -356,10 +356,10 @@ def pencil_f64_embedding(t: Pair, g: Pair, split: float = 1e-12):
     # their whitening weight is zeroed and their Ritz slot is bumped ABOVE
     # the spectrum so they sort LAST — never as below-spectrum phantoms.
     alive = lam > 1e-12 * jnp.max(lam)
-    inv_sqrt = jnp.where(alive, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-300)), 0.0)
+    inv_sqrt = jnp.where(alive, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-30)), 0.0)
     s = (u * inv_sqrt[None, :]) @ u.T
     tw = s @ te @ s
-    scale = jnp.max(jnp.abs(tw)) + 1e-300
+    scale = jnp.max(jnp.abs(tw)) + 1e-30
     pert = split * scale * (jnp.arange(2 * m, dtype=jnp.float64) / (2 * m))
     dead = 1.0 - jnp.diag(s @ ge @ s)          # ~1 at deflated coords
     bump = 2.0 * scale * jnp.where(dead > 0.5, 1.0, 0.0)

@@ -79,7 +79,7 @@ def run_stage(stage: str) -> dict:
             lam, u = jnp.linalg.eigh(ge)
             alive = lam > 1e-12 * jnp.max(lam)
             inv_sqrt = jnp.where(
-                alive, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-300)), 0.0)
+                alive, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-30)), 0.0)
             s = (u * inv_sqrt[None, :]) @ u.T
             tw = s @ te @ s
             return jnp.abs(tw).max()
