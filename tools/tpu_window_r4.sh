@@ -29,18 +29,13 @@ for stage in p0_eigh_f64 p1_emb_eigh p2_whiten p3_pencil_full p4_gep_tiny; do
 done
 
 sleep 30
-timeout 2000 python -u tools/tpu_smoke.py --only descent davidson \
-    --per-timeout 900 --breather 20 2>&1 | tee -a "$LOG"
+# N=150 full solve directly (one compile; iter1 would be a SECOND
+# program — the cm-layout + apply_chunk fix targets runtime HBM, and a
+# runtime OOM of the full solve carries the same information).
+timeout 2400 python -u tools/tpu_n150_diag.py --stage solve \
+    2>&1 | tee -a "$LOG"
 
 sleep 30
-timeout 2100 python -u tools/tpu_n150_diag.py --stage iter1_pallas \
-    2>&1 | tee -a "$LOG"
-RC=${PIPESTATUS[0]}
-sleep 30
-if [ "$RC" = "0" ]; then
-    timeout 2400 python -u tools/tpu_n150_diag.py --stage solve \
-        2>&1 | tee -a "$LOG"
-else
-    echo "# iter1_pallas failed (rc=$RC); skipping full solve" | tee -a "$LOG"
-fi
+timeout 2000 python -u tools/tpu_smoke.py --only descent davidson \
+    --per-timeout 900 --breather 20 2>&1 | tee -a "$LOG"
 echo "# window2 end $(date -u)" | tee -a "$LOG"
