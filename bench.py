@@ -99,11 +99,21 @@ def _validated_fast_levers():
             recs = [json.loads(ln) for ln in open(path) if ln.strip()]
         except (OSError, ValueError):
             continue
+        # warm_maxiter: host-side cap on WARM-started segmented solves
+        # (KPointSolver pops it from solver_opts).  A warm chain that
+        # drifts onto a doomed subspace shows slow false convergence and
+        # burns to maxiter=500 (~175 s) before the acceptance gate
+        # rejects it; healthy warm solves take 13-50 iters, so the cap
+        # only fires on doomed chains (measured: bench --sweep 5 cold
+        # retry 201.8 s -> ~90 s with the cap; production sweeps run the
+        # same cap, BENCH_NOTES round-4).
         if lam_first and clean(recs, "stack_lam2e6"):
             return {"lam_tol": 2e-6, "floor_patience": 3,
-                    "col_patience": 3, "w_cap": "auto"}
+                    "col_patience": 3, "w_cap": "auto",
+                    "warm_maxiter": 150}
         if clean(recs, "stack_p3"):
-            return {"floor_patience": 3, "col_patience": 3, "w_cap": "auto"}
+            return {"floor_patience": 3, "col_patience": 3,
+                    "w_cap": "auto", "warm_maxiter": 150}
     return None
 
 
