@@ -198,11 +198,12 @@ def main():
     # the production band sweep's steady state — entering from this fixed
     # unrelated alpha seeded the r2-vs-r3 ±40% iteration-count drift
     # (BENCH_NOTES round-4 adjudication).
+    SWEEP_START = 10  # path index of the first measured point
     alpha = np.array([np.pi, 0.0, 0.0])
     if args.sweep:
         from pcx import lattices as _lat
         _path = _lat.k_path(args.lattice)
-        alpha = _path[(10 - 1) % len(_path)]
+        alpha = _path[(SWEEP_START - 1) % len(_path)]
 
     def _coerce(kv):
         k, _, v = kv.partition("=")
@@ -231,10 +232,44 @@ def main():
           f"t={r.wall_time:.2f}s platform={platform}", file=sys.stderr)
 
     if args.sweep:
+        # DOUBLE-CONVERGE the warmup seed: re-solve the predecessor warm
+        # from its own result until the iteration count settles (<=2 extra
+        # passes, untimed).  Round-4 adjudication (BENCH_NOTES): the r2
+        # sweep's 0/20 warm-rejections and ~30% lower per-point iteration
+        # counts traced to its chain entering from a subspace that had
+        # been re-converged at the same alpha during probing; the r3/r4
+        # chains entered from a single cold FLOOR solve and paid 13-16
+        # iters/point plus 4/20 rejections.
+        for dc in range(2):
+            if r.x is None:
+                break
+            r2 = solver.solve(alpha, x0=r.x, validate_result=False)
+            print(f"# warmup double-converge pass {dc}: "
+                  f"status={Status(r2.status).name} iters={r2.iterations} "
+                  f"t={r2.wall_time:.2f}s", file=sys.stderr)
+            if r2.status not in (Status.CONVERGED, Status.FLOOR):
+                break  # keep the previous (accepted) subspace
+            r = r2
+            if r2.iterations <= 8:
+                break
+        # Pre-compile the w_cap bucket programs (untimed): the first long
+        # solve of the sweep otherwise pays a ~300 s bucket compile
+        # mid-measurement (round-4 sweep 2, BENCH_NOTES round-5).
+        try:
+            t_pc = time.time()
+            nb = solver.precompile_buckets(alpha)
+            if nb:
+                print(f"# precompiled {nb} w_cap bucket programs "
+                      f"({time.time() - t_pc:.1f}s, untimed)",
+                      file=sys.stderr)
+        except Exception as e:  # diagnostic-only path must not kill bench
+            print(f"# bucket precompile failed (continuing): {e!r}",
+                  file=sys.stderr)
+
         # Warm-started path segment starting at alpha, like the band sweep.
         from pcx import lattices as lat
         path = lat.k_path(args.lattice)
-        start = 10  # inside the first segment, away from Gamma
+        start = SWEEP_START  # inside the first segment, away from Gamma
         times, iters = [], []
         x_prev = r.x
         result = r
@@ -282,8 +317,12 @@ def main():
                     # numerical failure is a warm start drifting onto a
                     # spurious subspace; one fresh-seed attempt rescues
                     # it.  Its time counts toward the point (honest mean).
-                    print(f"# sweep {i}: warm solve rejected ({why}); "
-                          f"cold retry", file=sys.stderr)
+                    doom = getattr(solver, "last_doom", None)
+                    dtag = (f" [doom-bailed at it={doom[0]}, "
+                            f"bound {doom[1]:.2e}]" if doom else
+                            f" [{result.iterations} warm iters]")
+                    print(f"# sweep {i}: warm solve rejected ({why})"
+                          f"{dtag}; cold retry", file=sys.stderr)
                     x_prev = None  # free the warm block before re-solving
                     result = solver.solve(a, x0=None, seed=i + 10007,
                                           validate_result=False)

@@ -11,6 +11,7 @@ recompilation (the reference re-builds CUDA graphs per call).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import lru_cache, partial
 from typing import Optional
@@ -34,6 +35,26 @@ from pcx.solvers import lobpcg as lob
 from pcx.solvers import lobpcg_rs as lob_rs
 from pcx.solvers import rayleigh_ritz as rr
 from pcx.utils import GREEN, RED, RESET, YELLOW, dots, norms, real_dtype
+
+
+def _heartbeat():
+    """Touch the liveness file named by PCX_HEARTBEAT (if set).
+
+    Called after every completed solver segment (device round-trip), so a
+    supervisor can distinguish "device actively iterating" from "RPC hung
+    forever" — the checkpoint JSON only advances per k-POINT, which on a
+    doomed/long solve can legitimately be many minutes apart, while
+    segments complete every ~20 s; see pcx.supervisor heartbeat watchdog.
+    """
+    path = os.environ.get("PCX_HEARTBEAT")
+    if not path:
+        return
+    try:
+        with open(path, "a"):
+            pass
+        os.utime(path)
+    except OSError:
+        pass
 
 
 @dataclasses.dataclass
@@ -215,6 +236,26 @@ class KPointSolver:
         # then succeeds in ~20 s).  Enforced host-side on the segmented
         # (trampolined) path only — no recompile, just an earlier stop.
         self.warm_maxiter = int(self.solver_opts.pop("warm_maxiter", 150))
+        # Doomed-warm-solve detection (segmented path, host-side): a warm
+        # chain that drifted onto a spurious/mixed subspace shows slow
+        # false convergence — the frequency-error bound of some tracked
+        # column stays above the acceptance gate (~1e-3) while improving
+        # <15% per segment.  Healthy warm solves finish in 13-50
+        # iterations; a doomed one previously burned warm_maxiter=150
+        # (and, crossing segment boundaries, triggered the first w_cap
+        # bucket-program compile ~300 s mid-sweep, BENCH_NOTES round-5).
+        # The admissibility signal is the solver's own lam_res_tol cap
+        # (lobpcg_rs: res_i < lam_res_tol*4*pi*sqrt(max(|lambda_i|,1))):
+        # at the FIRST segment boundary a blatant violation (bound >
+        # 10*doom_tol) bails immediately; from the second on, any
+        # violation that stalled (<15% residual improvement over a whole
+        # segment) bails.  The result surfaces as MAXITER and the sweep's
+        # acceptance gate/cold retry takes over — net effect is the same
+        # rejection ~70-110 iterations earlier.
+        self.doom_check = bool(self.solver_opts.pop("doom_check", True))
+        self.doom_tol = float(self.solver_opts.pop(
+            "doom_tol", self.solver_opts.get("lam_res_tol", 1e-3)))
+        self.last_doom = None  # (it, worst_bound) of the last doom bail
         self.locking = solver != "nolock"
         self.rdt = real_dtype(dtype)
         if jnp.dtype(dtype) == jnp.dtype(jnp.complex64):
@@ -607,6 +648,52 @@ class KPointSolver:
         seg_run = jax.jit(wrap(run_core), donate_argnums=(6,))
         seg_fin = jax.jit(wrap(fin_core))
         return seg_init, seg_run, seg_fin
+
+    def _seg_sym_args(self, alpha):
+        """The (d1, d0, ct, alpha, pnt, shift) argument tuple of the
+        segmented programs for one k-point (dev_sym path only)."""
+        (shift, _), pnt = set_relaxation(alpha)
+        shift = float(shift) / self.cfg.scal**2
+        f = self._f64
+        return (f["d1"], f["d0"], f["ct"],
+                jnp.asarray(np.asarray(alpha, np.float64)),
+                jnp.asarray(np.float64(pnt)),
+                jnp.asarray(np.float64(shift)))
+
+    def precompile_buckets(self, alpha, seed: int = 0) -> int:
+        """Eagerly compile every w_cap BUCKET variant of the segmented run
+        program (solver_opts {"w_cap": "auto"}) by executing each with
+        it_stop=0 — a no-op run that costs one compile and no iterations.
+
+        Rationale (BENCH_NOTES round-5): jax.jit is lazy, so the first
+        LONG solve of a sweep that crosses a segment boundary into a
+        never-entered bucket pays that bucket's ~300 s compile MID-
+        MEASUREMENT (round-4 bench sweep 2: 370.9 s for a 29-iteration
+        cold retry).  Calling this during an untimed warmup moves the
+        compile where it belongs.  Returns the number of bucket programs
+        compiled; no-op off the segmented dev_sym path.
+        """
+        if self.segment_iters <= 0 or not self.dev_sym:
+            return 0
+        if self.solver_opts.get("w_cap") != "auto":
+            return 0
+        m = self.block_width(alpha)
+        sym_args = self._seg_sym_args(alpha)
+        seg_init = self._jitted_seg(m)[0]
+        x0 = self._x0_cold(alpha, m, seed)
+        state = seg_init(*sym_args, x0, self.diel, self.dft)
+        stop0 = jnp.asarray(0, jnp.int32)
+        count = 0
+        for b in sorted({max(1, m // 4), max(1, m // 2)}):
+            if b >= m:
+                continue
+            run_b = self._jitted_seg(m, b)[1]
+            # donate_argnums consumes `state`; the no-op run returns an
+            # identical pytree, so chain it through.
+            state = run_b(*sym_args, state, self.diel, self.dft, stop0)
+            jax.block_until_ready(state["it"])
+            count += 1
+        return count
 
     @lru_cache(maxsize=8)
     def _refine_jit(self, m: int):
@@ -1321,13 +1408,44 @@ class KPointSolver:
                 state = seg_init(*sym_args, x0, self.diel, self.dft)
                 it = 0
                 run_fn = seg_run
-                for _ in range(-(-limit // seg) + 2):
-                    stop = jnp.asarray(min(it + seg, limit), jnp.int32)
+                self.last_doom = None
+                prev_worst = None
+                nev = cfg.nev
+                # Shorter FIRST warm segment: healthy warm solves finish in
+                # 13-19 iterations and never reach a boundary, while a
+                # doomed chain hits the doom check at 24 instead of 40 —
+                # cutting a rejected point's warm cost ~2x (same program,
+                # it_stop is a traced argument).
+                first_seg = min(24, seg) if (warm and self.doom_check) \
+                    else seg
+                for _ in range(-(-limit // seg) + 3):
+                    step_iters = first_seg if it == 0 else seg
+                    stop = jnp.asarray(min(it + step_iters, limit),
+                                       jnp.int32)
                     state = run_fn(*sym_args, state, self.diel,
                                    self.dft, stop)
                     st, it = int(state["status"]), int(state["it"])
+                    _heartbeat()
                     if st != lob.Status.RUNNING or it >= limit:
                         break
+                    if warm and self.doom_check:
+                        # Frequency-error admissibility of the tracked
+                        # columns (see __init__.doom_check).  m-sized host
+                        # reads only.
+                        res9 = np.asarray(state["res"])[:nev]
+                        lam9 = np.abs(np.asarray(state["lambdas"]))[:nev]
+                        cap = (self.doom_tol * 4.0 * np.pi
+                               * np.sqrt(np.maximum(lam9, 1.0)))
+                        with np.errstate(invalid="ignore"):
+                            viol = res9 / cap
+                        worst = float(np.nanmax(viol)) if viol.size else 0.0
+                        doomed = worst > 10.0 or (
+                            prev_worst is not None and worst > 1.0
+                            and worst > 0.85 * prev_worst)
+                        if doomed:
+                            self.last_doom = (it, worst * self.doom_tol)
+                            break
+                        prev_worst = worst
                     if w_auto:
                         # Re-enter through the smallest bucket that holds
                         # every active column (state carries over — the
@@ -1628,7 +1746,12 @@ def bandgap(n: int, lattice: str, diel_type: str = "chiral",
                             except Exception as e:  # noqa: BLE001
                                 if _is_device_error(e):
                                     raise
-                                break
+                                # Numerical feeder failure: try the OTHER
+                                # computed neighbor before giving up on the
+                                # warm feeder (ADVICE r4: `break` here fell
+                                # back to the cold start that is the known
+                                # failure mode).
+                                continue
                             if verbose:
                                 print(f"{YELLOW}k={i}: warm-feeder solve of "
                                       f"computed neighbor k={j} "

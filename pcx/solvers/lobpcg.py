@@ -473,8 +473,10 @@ def lobpcg_gep(
     cdtype = x0.dtype
     if rr_pencil == "auto":
         rr_pencil = ("embedding" if cdtype == jnp.complex64 else "chol")
-    pencil = (rr_mod.eigh_pencil_embedding if rr_pencil == "embedding"
-              else rr_mod.eigh_pencil)
+    pencil = (rr_pencil if callable(rr_pencil)
+              else {"embedding": rr_mod.eigh_pencil_embedding,
+                    "whiten": rr_mod.eigh_pencil_whiten,
+                    "chol": rr_mod.eigh_pencil}[rr_pencil])
     rdtype = real_dtype(cdtype)
     tiny = float(jnp.finfo(rdtype).tiny ** 0.5)
     bshape = (-1,) + (1,) * (x0.ndim - 1)

@@ -603,3 +603,248 @@ def lobpcg_sep_rs(
         col_patience=col_patience, lam_tol=lam_tol,
         lam_patience=lam_patience, lam_res_tol=lam_res_tol)
     return finalize(run_to(init(x0), maxiter))
+
+# ---------------------------------------------------------------------------
+# Pair-layout GENERALIZED eigensolver family (round-5).
+#
+# The on-device ladder (BENCH_NOTES round-5, bench_logs/gep_body_bisect.
+# jsonl) proved the axon TPU backend refuses ANY complex arithmetic inside
+# a lax.while_loop (r0: a complex carry with body x*0.999 is UNIMPLEMENTED;
+# r1: complex rebuilt inside the body from a pair carry refuses too).  The
+# complex lobpcg_gep (pcx.solvers.lobpcg:447) therefore can never run on
+# this backend; this is its all-real pair twin, built from the same proven
+# toolbox as the production softlock solver above (gram_f64_p pair Grams,
+# mix_pair updates, pencil_f64_embedding small-pencil solve — all already
+# TPU-passing inside while_loops).  Reference: lobpcg_gep_softlock,
+# paper_2/lobpcg.py:688-838; max mode paper_2/lobpcg.py:196-323;
+# descent_gep paper_2/lobpcg.py:976-1100.
+# ---------------------------------------------------------------------------
+
+
+def lobpcg_gep_rs(
+    h_func: Callable[[Pair], Pair],
+    m_func: Callable[[Pair], Pair],
+    p_func: Callable[[Pair], Pair],
+    x0: Pair,
+    nev: int,
+    *,
+    tol: float = TOL,
+    maxiter: int = MAXITER,
+    locking: bool = True,
+    normalize: bool = True,
+    use_p: bool = True,
+    floor_patience: int = 10,
+) -> SolveResult:
+    """LOBPCG for H x = lambda M x (M HPD) on pair blocks.
+
+    Same algorithm as :func:`pcx.solvers.lobpcg.lobpcg_gep` (M-inner
+    Rayleigh-Ritz, residual R = lambda*MX - HX, fixed-shape soft locking
+    with phantom decoupling, dead-column compaction by dynamic slice), but
+    every block is a ``(re, im)`` real pair and the small pencil solves in
+    the f64 real *-algebra embedding — no complex value exists anywhere
+    inside the while_loop.  Returns ``SolveResult`` with ``x`` as a pair.
+
+    ``floor_patience``: stop with Status.FLOOR once the tracked residual
+    has not improved 5% for this many iterations (0 disables).  At f32 the
+    GEP's noisy Gram turns nearly-dependent once W hits the noise floor
+    and the pencil then breeds below-spectrum phantoms — the COMPLEX
+    lobpcg_gep at c64 measurably corrupts its converged eigenvalues after
+    ~iteration 25 on CPU (relerr 1.8e-3 at it=10 -> 17 at it=30, BENCH_
+    NOTES round-5); stopping at the attainable floor returns the accurate
+    values the iteration already had.
+    """
+    from pcx.operators import rs as rs_mod
+
+    m = x0[0].shape[0]
+    rdtype = x0[0].dtype
+    f64 = jnp.float64
+    tiny = float(jnp.finfo(rdtype).tiny ** 0.5)
+    shape = x0[0].shape
+
+    def flat(a: Pair) -> Pair:
+        return (a[0].reshape(m, -1), a[1].reshape(m, -1))
+
+    def unflat(a: Pair) -> Pair:
+        return (a[0].reshape(shape), a[1].reshape(shape))
+
+    def scale(a: Pair, s) -> Pair:   # s real (p,) broadcast over columns
+        sc = s[:, None].astype(rdtype)
+        return (a[0] * sc, a[1] * sc)
+
+    def cat(*ps: Pair) -> Pair:
+        return (jnp.concatenate([p[0] for p in ps], axis=0),
+                jnp.concatenate([p[1] for p in ps], axis=0))
+
+    def gram_herm(x: Pair, y: Pair):
+        re, im = rr.gram_f64_p(x, y)
+        return 0.5 * (re + re.T), 0.5 * (im - im.T)
+
+    x = flat(x0)
+    if normalize:
+        n0 = rr.colnorms_p(x)
+        x = scale(x, 1.0 / jnp.maximum(n0, tiny))
+    hx = flat(h_func(unflat(x)))
+    mx = flat(m_func(unflat(x)))
+    g = gram_herm(x, mx)
+    gh = gram_herm(x, hx)
+    # Dtype-aware degeneracy split (rr.split_for rationale): f32 iterates
+    # put ~eps_f32 noise in the Gram entries, and the graded perturbation
+    # must dominate it for deterministic pair extraction.
+    split = float(rr.split_for(rdtype))
+    theta0, c0 = rs_mod.pencil_f64_embedding(gh, g, split=split)
+    c0r = (c0[0].astype(rdtype), c0[1].astype(rdtype))
+    x = rr.mix_pair(c0r, x)
+    hx = rr.mix_pair(c0r, hx)
+    mx = rr.mix_pair(c0r, mx)
+
+    zeros = (jnp.zeros_like(x[0]), jnp.zeros_like(x[1]))
+    ones_m = jnp.ones((m,), rdtype)
+
+    state0 = dict(
+        it=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        lambdas=theta0.astype(rdtype),
+        x=x, hx=hx, mx=mx, p=zeros, hp=zeros, mp=zeros,
+        res_his=jnp.full((maxiter,), jnp.nan, rdtype),
+        best_res=jnp.asarray(jnp.inf, rdtype),
+        best_it=jnp.asarray(0, jnp.int32),
+        best_lambdas=theta0.astype(rdtype),
+    )
+
+    def cond_fun(s):
+        return (s["status"] == Status.RUNNING) & (s["it"] < maxiter)
+
+    def body_fun(s):
+        it = s["it"]
+        lam = s["lambdas"][:, None]
+        r = (lam * s["mx"][0] - s["hx"][0], lam * s["mx"][1] - s["hx"][1])
+        # Per-column RELATIVE residual (columns are M-orthonormal, so the
+        # 2-norms carry the pencil's scale — see lobpcg_gep's rationale).
+        res = rr.colnorms_p(r) / jnp.maximum(rr.colnorms_p(s["x"]), tiny)
+        res_nev = jnp.linalg.norm(res[:nev])
+        res_his = s["res_his"].at[it].set(res_nev)
+        res_max = jnp.max(res[:nev])
+        improved = res_max < s["best_res"] * 0.95
+        best_res = jnp.where(improved, res_max, s["best_res"])
+        best_it = jnp.where(improved, it, s["best_it"])
+        best_lambdas = jnp.where(improved, s["lambdas"], s["best_lambdas"])
+        floored = ((floor_patience > 0) & (it > 3)
+                   & (it - best_it > floor_patience))
+        is_nan = jnp.isnan(res).any()
+        converged = res_max < tol
+        status = jnp.where(is_nan, Status.NAN,
+                           jnp.where(converged, Status.CONVERGED,
+                                     jnp.where(floored, Status.FLOOR,
+                                               Status.RUNNING))
+                           ).astype(jnp.int32)
+
+        def finish(_):
+            return dict(s, it=it, status=status, res_his=res_his,
+                        best_res=best_res, best_it=best_it,
+                        best_lambdas=best_lambdas)
+
+        def step(_):
+            active = (res > tol).astype(rdtype) if locking else ones_m
+            w = p_func(unflat(scale(r, active)))
+            w = scale(flat(w), active)
+            if normalize:
+                wn = rr.colnorms_p(w)
+                w = scale(w, 1.0 / jnp.maximum(wn, tiny))
+            hw = flat(h_func(unflat(w)))
+            mw = flat(m_func(unflat(w)))
+            p_act = active * (it > 0).astype(rdtype) \
+                * (1.0 if use_p else 0.0)
+            p = scale(s["p"], p_act)
+            hp = scale(s["hp"], p_act)
+            mp = scale(s["mp"], p_act)
+
+            s_all = cat(s["x"], w, p)
+            hs_all = cat(s["hx"], hw, hp)
+            ms_all = cat(s["mx"], mw, mp)
+            basis_mask = jnp.concatenate((ones_m, active, p_act))
+            keep = (basis_mask[:, None] * basis_mask[None, :]).astype(f64)
+            dead = (1.0 - basis_mask).astype(f64)
+
+            g_re, g_im = gram_herm(s_all, ms_all)
+            g_re = g_re * keep + jnp.diag(dead)
+            g_im = g_im * keep
+            gh_re, gh_im = gram_herm(s_all, hs_all)
+            gh_re, gh_im = gh_re * keep, gh_im * keep
+            dead_val = jnp.sqrt(jnp.sum(gh_re**2 + gh_im**2)) + 1.0
+            gh_re = gh_re - dead_val * jnp.diag(dead)
+
+            theta_all, c_all = rs_mod.pencil_f64_embedding(
+                (gh_re, gh_im), (g_re, g_im), split=split)
+            n_dead = (3 * m - jnp.sum(basis_mask)).astype(jnp.int32)
+            theta = lax.dynamic_slice(theta_all, (n_dead,), (m,))
+            c_re = lax.dynamic_slice(c_all[0], (jnp.int32(0), n_dead),
+                                     (3 * m, m))
+            c_im = lax.dynamic_slice(c_all[1], (jnp.int32(0), n_dead),
+                                     (3 * m, m))
+            bm = basis_mask.astype(f64)[:, None]
+            c_re, c_im = c_re * bm, c_im * bm
+            cxr, cwr, cpr = c_re[:m], c_re[m:2 * m], c_re[2 * m:]
+            cxi, cwi, cpi = c_im[:m], c_im[m:2 * m], c_im[2 * m:]
+            cx = (cxr.astype(rdtype), cxi.astype(rdtype))
+            cw = (cwr.astype(rdtype), cwi.astype(rdtype))
+            cp = (cpr.astype(rdtype), cpi.astype(rdtype))
+
+            def upd(blocks: Pair):
+                bx = (blocks[0][:m], blocks[1][:m])
+                bw = (blocks[0][m:2 * m], blocks[1][m:2 * m])
+                bp = (blocks[0][2 * m:], blocks[1][2 * m:])
+                t_w = rr.mix_pair(cw, bw)
+                t_p = rr.mix_pair(cp, bp)
+                t_x = rr.mix_pair(cx, bx)
+                pn = (t_w[0] + t_p[0], t_w[1] + t_p[1])
+                xn = (t_x[0] + pn[0], t_x[1] + pn[1])
+                return xn, pn
+
+            x_new, p_new = upd(s_all)
+            hx_new, hp_new = upd(hs_all)
+            mx_new, mp_new = upd(ms_all)
+
+            nan_rr = jnp.isnan(theta).any()
+            new_status = jnp.where(nan_rr, Status.NAN,
+                                   Status.RUNNING).astype(jnp.int32)
+            return dict(
+                s, it=it + 1, status=new_status,
+                lambdas=theta.astype(rdtype),
+                x=x_new, hx=hx_new, mx=mx_new,
+                p=p_new, hp=hp_new, mp=mp_new,
+                res_his=res_his, best_res=best_res, best_it=best_it,
+                best_lambdas=best_lambdas,
+            )
+
+        return lax.cond(status != Status.RUNNING, finish, step, None)
+
+    final = lax.while_loop(cond_fun, body_fun, state0)
+    status = jnp.where(final["status"] == Status.RUNNING,
+                       Status.MAXITER, final["status"]).astype(jnp.int32)
+    # On a FLOOR/MAXITER stop report the BEST-seen Ritz values: past the
+    # attainable floor the noisy-Gram pencil can corrupt the current
+    # lambdas with below-spectrum phantoms (docstring) while the best
+    # snapshot still holds the converged values.  CONVERGED keeps the
+    # current (tightest) ones.
+    lam_out = jnp.where(status == Status.CONVERGED,
+                        final["lambdas"], final["best_lambdas"])
+    return SolveResult(lam_out, unflat(final["x"]),
+                       final["it"], status, final["res_his"])
+
+
+def lobpcg_sep_max_rs(h_func, x0: Pair, nev: int, *, tol: float = TOL,
+                      maxiter: int = MAXITER) -> SolveResult:
+    """Largest eigenvalues of H on pairs via the inverse pencil
+    I x = mu H x (pair twin of lobpcg_sep_max; reference
+    paper_2/lobpcg.py:196-323)."""
+    r = lobpcg_gep_rs(lambda v: v, h_func, lambda v: v, x0, nev,
+                      tol=tol, maxiter=maxiter, locking=False)
+    return r._replace(lambdas=1.0 / r.lambdas)
+
+
+def descent_gep_rs(h_func, m_func, p_func, x0: Pair, nev: int,
+                   **kw) -> SolveResult:
+    """Two-term steepest descent for the generalized problem on pairs
+    (pair twin of descent_gep; reference paper_2/lobpcg.py:976-1100)."""
+    kw["use_p"] = False
+    return lobpcg_gep_rs(h_func, m_func, p_func, x0, nev, **kw)

@@ -115,6 +115,59 @@ def eigh_pencil_embedding(t: jnp.ndarray, g: jnp.ndarray
     return theta.astype(rdt), v
 
 
+def eigh_pencil_whiten(t: jnp.ndarray, g: jnp.ndarray, split: float = 1e-10
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hermitian-definite pencil solver via G-whitening with the TPU-proven
+    :func:`eigh_f64_embedding` (same contract as :func:`eigh_pencil`).
+
+    Round-5 pencil-probe adjudication (bench_logs/pencil_probe.jsonl):
+    ``rs.pencil_f64_embedding`` COMPILES AND RUNS standalone on the chip,
+    but ``lobpcg_gep`` refuses with UNIMPLEMENTED even on a tiny explicit
+    48x48 pencil — the refusal lives in the solve-loop context.  This
+    variant restructures the pencil so every primitive already appears in
+    a TPU-PASSING while_loop body (eigh_f64_embedding + real f64 GEMMs,
+    the production lobpcg_rs RR): whiten G by its Loewdin inverse square
+    root S = G^(-1/2) in complex PAIR arithmetic (p x p blocks, never the
+    2p x 2p embedding matmuls of pencil_f64_embedding), eigh the whitened
+    S T S, and back-transform C = S V.  Numerically-dead directions
+    (masked/locked basis columns: zero G rows) get their whitening weight
+    zeroed and their Ritz slot bumped ABOVE the spectrum so they sort
+    LAST, matching pencil_f64_embedding's contract.
+    """
+    f64 = jnp.float64
+    t_re = 0.5 * (t.real + t.real.T).astype(f64)
+    t_im = 0.5 * (t.imag - t.imag.T).astype(f64)
+    g_re = 0.5 * (g.real + g.real.T).astype(f64)
+    g_im = 0.5 * (g.imag - g.imag.T).astype(f64)
+    wg, ur, ui = eigh_f64_embedding(g_re, g_im, split=1e-12)
+    alive = wg > 1e-12 * jnp.max(wg)
+    inv = jnp.where(alive, 1.0 / jnp.sqrt(jnp.maximum(wg, 1e-30)), 0.0)
+    # S = U diag(inv) U^H (Hermitian), complex pair arithmetic.
+    urw, uiw = ur * inv[None, :], ui * inv[None, :]
+    s_re = urw @ ur.T + uiw @ ui.T
+    s_im = uiw @ ur.T - urw @ ui.T
+    # TW = S T S.
+    a_re = s_re @ t_re - s_im @ t_im
+    a_im = s_re @ t_im + s_im @ t_re
+    tw_re = a_re @ s_re - a_im @ s_im
+    tw_im = a_re @ s_im + a_im @ s_re
+    # Dead coordinates: diag(S G S) is ~1 alive, ~0 deflated; bump their
+    # Ritz slots above the spectrum.
+    b_re = s_re @ g_re - s_im @ g_im
+    b_im = s_re @ g_im + s_im @ g_re
+    sgs_diag = jnp.diag(b_re @ s_re - b_im @ s_im)
+    scale = jnp.max(jnp.abs(tw_re)) + jnp.max(jnp.abs(tw_im)) + 1e-30
+    bump = 2.0 * scale * jnp.where(sgs_diag < 0.5, 1.0, 0.0)
+    tw_re = 0.5 * (tw_re + tw_re.T) + jnp.diag(bump)
+    tw_im = 0.5 * (tw_im - tw_im.T)
+    theta, vr, vi = eigh_f64_embedding(tw_re, tw_im, split=split)
+    c_re = s_re @ vr - s_im @ vi
+    c_im = s_re @ vi + s_im @ vr
+    rdt = real_dtype(t.dtype)
+    v = jax.lax.complex(c_re.astype(rdt), c_im.astype(rdt)).astype(t.dtype)
+    return theta.astype(rdt), v
+
+
 def rayleigh_ritz(s: jnp.ndarray, hs: jnp.ndarray):
     """Plain RR on a row-block: Ritz values/vecs of H in span(s)
     (reference: rayleigh_ritz_chol_sep, orthogonalization.py:140-154)."""

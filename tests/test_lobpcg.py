@@ -620,3 +620,118 @@ def test_rs_xla9_full_and_mirror_match(rng):
         assert int(res.status) == 1, kw
         np.testing.assert_allclose(np.asarray(res.lambdas[:nev]), want,
                                    rtol=1e-6, err_msg=str(kw))
+
+
+# --- pair-layout GEP family (round-5: complex-in-while_loop is refused on
+# --- the axon TPU backend, so max/gep/descent_gep ship as pair twins) ----
+
+def _pair_apply(mat, dt):
+    mr = jnp.asarray(mat.real, dt)
+    mi = jnp.asarray(mat.imag, dt)
+
+    def f(v):
+        # y = v @ mat.conj().T on pairs
+        return (v[0] @ mr.T + v[1] @ mi.T, v[1] @ mr.T - v[0] @ mi.T)
+    return f
+
+
+def _gep_problem(rng, n=40, m=8):
+    a = _random_hpd(n, rng)
+    b = _random_hpd(n, rng) + 9.0 * np.eye(n)
+    x0 = rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n))
+    import scipy.linalg as sla
+    want = np.sort(sla.eigh(a, b, eigvals_only=True))
+    return a, b, x0, want
+
+
+def test_gep_rs_matches_complex_gep_f64(rng):
+    """lobpcg_gep_rs reproduces the complex lobpcg_gep's pencil spectrum
+    (reference lobpcg_gep_softlock, paper_2/lobpcg.py:688-838)."""
+    from pcx.solvers.lobpcg_rs import lobpcg_gep_rs
+    a, b, x0, want = _gep_problem(rng)
+    nev = 4
+    idp = lambda v: v
+    x0p = (jnp.asarray(x0.real), jnp.asarray(x0.imag))
+    r = lobpcg_gep_rs(_pair_apply(a, jnp.float64), _pair_apply(b, jnp.float64),
+                      idp, x0p, nev, tol=1e-8, maxiter=300)
+    assert int(r.status) in (1, 5)
+    got = np.sort(np.asarray(r.lambdas))[:nev]
+    np.testing.assert_allclose(got, want[:nev], rtol=1e-5)
+
+
+def test_gep_rs_f32_floor_returns_best_lambdas(rng):
+    """At f32 the noisy-Gram pencil corrupts CURRENT lambdas past the
+    floor (measured: complex gep relerr 1.8e-3 at it=10 -> 17 at it=30);
+    the pair solver's FLOOR stop must return the BEST-seen values."""
+    from pcx.solvers.lobpcg import Status
+    from pcx.solvers.lobpcg_rs import lobpcg_gep_rs
+    a, b, x0, want = _gep_problem(rng)
+    nev = 4
+    x0p = (jnp.asarray(x0.real, jnp.float32),
+           jnp.asarray(x0.imag, jnp.float32))
+    r = lobpcg_gep_rs(_pair_apply(a, jnp.float32),
+                      _pair_apply(b, jnp.float32),
+                      lambda v: v, x0p, nev, tol=1e-6, maxiter=300)
+    assert int(r.status) in (Status.CONVERGED, Status.FLOOR)
+    got = np.sort(np.asarray(r.lambdas))[:nev]
+    rel = np.abs(got - want[:nev]) / np.abs(want[:nev])
+    assert rel.max() < 1e-3, rel
+
+
+def test_max_rs_matches_dense_spectrum(rng):
+    from pcx.solvers.lobpcg_rs import lobpcg_sep_max_rs
+    a = _random_hpd(40, rng)
+    x0 = rng.normal(size=(6, 40)) + 1j * rng.normal(size=(6, 40))
+    x0p = (jnp.asarray(x0.real, jnp.float32),
+           jnp.asarray(x0.imag, jnp.float32))
+    r = lobpcg_sep_max_rs(_pair_apply(a, jnp.float32), x0p, 2,
+                          tol=1e-4, maxiter=300)
+    want = np.sort(np.linalg.eigvalsh(a))[-2:]
+    got = np.sort(np.asarray(r.lambdas)[:2])
+    rel = np.abs(got - want) / np.abs(want)
+    assert rel.max() < 1e-3, rel
+
+
+def test_descent_gep_rs_converges(rng):
+    from pcx.solvers.lobpcg_rs import descent_gep_rs
+    a, b, x0, want = _gep_problem(rng)
+    nev = 4
+    x0p = (jnp.asarray(x0.real, jnp.float32),
+           jnp.asarray(x0.imag, jnp.float32))
+    r = descent_gep_rs(_pair_apply(a, jnp.float32),
+                       _pair_apply(b, jnp.float32),
+                       lambda v: v, x0p, nev, tol=1e-4, maxiter=300,
+                       floor_patience=20)
+    got = np.sort(np.asarray(r.lambdas))[:nev]
+    rel = np.abs(got - want[:nev]) / np.abs(want[:nev])
+    assert rel.max() < 5e-3, rel
+
+
+def test_eigh_pencil_whiten_matches_scipy(rng):
+    """The whiten-path pencil (p x p pair GEMMs, no 2p embedding matmuls)
+    agrees with scipy on a Hermitian-definite pencil, including the gep
+    body's dead-coordinate convention (G_ii=1, T_ii=-dead_val)."""
+    import scipy.linalg as sla
+    from pcx.solvers import rayleigh_ritz as rr_mod
+    m = 12
+    a = rng.normal(size=(m, m)) + 1j * rng.normal(size=(m, m))
+    bmat = rng.normal(size=(m, m)) + 1j * rng.normal(size=(m, m))
+    t = a @ a.conj().T + np.eye(m)
+    g = bmat @ bmat.conj().T + 10 * np.eye(m)
+    th, v = jax.jit(rr_mod.eigh_pencil_whiten)(jnp.asarray(t),
+                                               jnp.asarray(g))
+    want = sla.eigh(t, g, eigvals_only=True)
+    np.testing.assert_allclose(np.sort(np.asarray(th)), want, atol=1e-7)
+    # dead convention
+    mask = np.ones(m)
+    mask[-3:] = 0
+    keep = np.outer(mask, mask)
+    gm = g * keep + np.diag(1 - mask)
+    dead_val = np.linalg.norm(t) + 1
+    tm = t * keep - dead_val * np.diag(1 - mask)
+    th2, _ = jax.jit(rr_mod.eigh_pencil_whiten)(jnp.asarray(tm),
+                                                jnp.asarray(gm))
+    th2 = np.sort(np.asarray(th2))
+    assert np.allclose(th2[:3], -dead_val, atol=1e-6)
+    want2 = sla.eigh(t[:9, :9], g[:9, :9], eigvals_only=True)
+    np.testing.assert_allclose(th2[3:], want2, atol=1e-6)

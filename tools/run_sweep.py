@@ -89,10 +89,19 @@ def main():
                          "advancing for this many seconds (observed: the "
                          "tunnel can hang an RPC forever mid-sweep; a "
                          "k-point normally takes <60 s)")
-    ap.add_argument("--stall-grace", type=int, default=2400,
+    ap.add_argument("--stall-grace", type=int, default=1800,
                     help="stall allowance before the round's FIRST "
-                         "checkpoint write (process warmup on a degraded "
-                         "tunnel takes up to ~20 min)")
+                         "heartbeat/checkpoint write (worst case: ~16 min "
+                         "degraded-tunnel first program + a cold solve-"
+                         "program compile; with the per-segment heartbeat "
+                         "the first beat CUTS this, so it only bounds "
+                         "fully-hung rounds)")
+    ap.add_argument("--hb-stall", type=int, default=420,
+                    help="kill the worker if the per-segment heartbeat "
+                         "goes silent this long after its first beat "
+                         "(covers a mid-solve ~300 s one-off bucket/"
+                         "refine compile; healthy segments beat ~20 s "
+                         "apart)")
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--solver-opt", action="append", default=[],
                     metavar="KEY=VAL",
@@ -123,12 +132,16 @@ def main():
     # Supervision (round loop, stall watchdog, outage-vs-productive budget
     # split) lives in pcx.supervisor — unit-tested with fake clocks; this
     # tool only assembles the worker command line.
+    hb_path = os.path.join(
+        "/tmp", f"pcx_hb_{args.lattice}{args.n}_{args.diel}{suffix}.hb")
+    env = dict(os.environ, PCX_HEARTBEAT=hb_path)
     cfg = SuperviseConfig(max_rounds=args.max_rounds,
                           outage_budget=args.outage_budget,
-                          stall=args.stall, stall_grace=args.stall_grace)
+                          stall=args.stall, stall_grace=args.stall_grace,
+                          hb_path=hb_path, hb_stall=args.hb_stall)
     outcome = supervise(
         lambda: subprocess.Popen([sys.executable, "-u", "-c", worker],
-                                 cwd=REPO),
+                                 cwd=REPO, env=env),
         path, args.lattice, args.n, cfg,
         log=lambda msg: print(msg, flush=True))
     if not outcome.ok:

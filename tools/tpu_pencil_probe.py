@@ -32,6 +32,18 @@ sys.path.insert(0, "/root/repo")
 STAGES = ["p0_eigh_f64", "p1_emb_eigh", "p2_whiten", "p3_pencil_full",
           "p4_gep_tiny", "p5_gep_chol"]
 
+# Round-5 second ladder (after p3 PASSED standalone while p4 refused: the
+# refusal is in the solve-loop CONTEXT, not the pencil itself):
+#   p6_pencil_fori  pencil_f64_embedding inside a fori_loop — is
+#                   "pencil in a loop" alone the trigger?
+#   p7_gep_whiten   lobpcg_gep with rr_pencil="whiten"
+#                   (rayleigh_ritz.eigh_pencil_whiten: G-whitening via the
+#                   TPU-PROVEN eigh_f64_embedding + p x p pair GEMMs, no
+#                   2m-embedding matmuls) — the candidate FIX
+#   p8_gep_stub     lobpcg_gep with a trivial callable pencil (no eigh at
+#                   all) — does the REST of the gep body compile?
+STAGES_R5 = ["p7_gep_whiten", "p6_pencil_fori", "p8_gep_stub"]
+
 
 def run_stage(stage: str) -> dict:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -91,7 +103,38 @@ def run_stage(stage: str) -> dict:
             return theta.sum() + jnp.abs(c[0]).max()
         return {"ok": True, "value": float(jax.jit(core)(gp, tp))}
 
-    # p4/p5: gep on an explicit pencil, no Maxwell operator.
+    if stage == "p9_dynslice":
+        # The gep body's dead-column compaction slices theta/C at a
+        # DATA-DEPENDENT offset (lobpcg.py:569-570) — no TPU-passing pcx
+        # program does that (res_his.at[it].set is dynamic-UPDATE, which
+        # passes).  Tiny standalone probe of both ranks.
+        def core(v, m2, i):
+            a = jax.lax.dynamic_slice(v, (i,), (3,))
+            b = jax.lax.dynamic_slice(m2, (jnp.int32(0), i), (4, 3))
+            return a.sum() + b.sum()
+        v = jnp.arange(12, dtype=jnp.float32)
+        m2 = jnp.arange(48, dtype=jnp.float32).reshape(4, 12)
+        val = jax.jit(core)(v, m2, jnp.asarray(2, jnp.int32))
+        return {"ok": True, "value": float(val)}
+
+    if stage == "p10_norm_c":
+        # jnp.linalg.norm of a complex matrix (gep body dead_val,
+        # lobpcg.py:565).
+        def core(g):
+            ge = jax.lax.complex(g[0], g[1]).astype(jnp.complex64)
+            return jnp.linalg.norm(ge)
+        gp32 = (gp[0].astype(jnp.float32), gp[1].astype(jnp.float32))
+        return {"ok": True, "value": float(jax.jit(core)(gp32))}
+
+    if stage == "p6_pencil_fori":
+        def core(g, t):
+            def body(_, acc):
+                theta, c = rs.pencil_f64_embedding(t, g)
+                return acc + theta.sum() + jnp.abs(c[0]).max()
+            return jax.lax.fori_loop(0, 3, body, 0.0)
+        return {"ok": True, "value": float(jax.jit(core)(gp, tp))}
+
+    # p4/p5/p7/p8: gep on an explicit pencil, no Maxwell operator.
     from pcx.solvers import lobpcg as lob
     n, nev = 48, 3
     aa = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
@@ -100,10 +143,33 @@ def run_stage(stage: str) -> dict:
     b_h = (bb @ bb.conj().T + 10 * np.eye(n)).astype(np.complex64)
     x0 = (rng.standard_normal((nev + 3, n))
           + 1j * rng.standard_normal((nev + 3, n))).astype(np.complex64)
-    pencil_kind = "chol" if stage == "p5_gep_chol" else "embedding"
+    if stage == "p5_gep_chol":
+        pencil_kind = "chol"
+    elif stage == "p7_gep_whiten":
+        pencil_kind = "whiten"
+    elif stage == "p8_gep_stub":
+        def pencil_kind(gh, g):  # trivial callable: no eigh at all
+            theta = jnp.sort(jnp.real(jnp.diag(gh)))
+            return theta.astype(jnp.float32), jnp.eye(
+                gh.shape[0], dtype=gh.dtype)
+    else:
+        pencil_kind = "embedding"
+
+    def matvec(mat):
+        # Split-real GEMM: complex dot_general is UNIMPLEMENTED on the
+        # axon backend (same fix as lobpcg_default) — without this, p4/p5
+        # refuse on the operator apply itself, not the pencil, and the
+        # probe mislocalizes (round-5 re-read of the p4 design).
+        mr, mi = jnp.real(mat).T, jnp.imag(mat).T
+
+        def apply(v):
+            vr, vi = jnp.real(v), jnp.imag(v)
+            return jax.lax.complex(vr @ mr - vi @ mi,
+                                   vr @ mi + vi @ mr).astype(v.dtype)
+        return apply
 
     def core(a_, b_, x_):
-        r = lob.lobpcg_gep(lambda v: v @ a_.T, lambda v: v @ b_.T,
+        r = lob.lobpcg_gep(matvec(a_), matvec(b_),
                            lambda v: v, x_, nev, tol=1e-4, maxiter=60,
                            rr_pencil=pencil_kind)
         return r.status, r.iterations, r.lambdas[:nev].real
@@ -115,7 +181,10 @@ def run_stage(stage: str) -> dict:
                             eigvals_only=True))[:nev]
     dev = float(np.max(np.abs(np.sort(np.asarray(lam, np.float64))
                               - want) / np.abs(want)))
-    return {"ok": dev < 1e-2, "status": int(st), "iters": int(it),
+    # p8's stub pencil has garbage numerics by design — it probes whether
+    # the REST of the gep body compiles; ok = ran to completion.
+    ok = True if stage == "p8_gep_stub" else dev < 1e-2
+    return {"ok": ok, "status": int(st), "iters": int(it),
             "rel_dev": float(f"{dev:.3e}")}
 
 

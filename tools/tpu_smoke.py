@@ -143,47 +143,101 @@ def run_variants(n, dtype, tol, maxiter, names):
         return (res.status, res.iterations, dev, np.asarray(res.omega))
 
     def direct_core(name):
-        """One jitted core per direct variant; complex args cross as
-        real pairs."""
-        e = get_env()
-        shift = e["shift"]
+        """One jitted core per direct variant, PAIR-layout end to end.
 
-        def core(d_a, b, inv, x0, diel, mats):
-            h = lambda v: maxwell.ama_bb(v, d_a, b, diel, shift=shift,
-                                         dft=mats)
-            p = lambda v: h_block(v, inv)
+        Round-5 rewiring: the complex-layout route can NEVER run on this
+        backend — the on-device ladder proved any complex arithmetic
+        inside lax.while_loop is UNIMPLEMENTED (r0: carry x*0.999
+        refused; BENCH_NOTES round-5) — so max/gep/descent_gep run their
+        pair twins (lobpcg_sep_max_rs / lobpcg_gep_rs / descent_gep_rs)
+        on the pair Maxwell apply (rs.ama_bb_p), the same operator stack
+        as the production solver.  This is TPU execution of the VARIANT
+        ALGORITHM, not a CPU fallback."""
+        from pcx.config import ProblemConfig, set_relaxation
+        from pcx.bandstructure import KPointSolver
+        from pcx.operators import rs
+        from pcx.solvers import lobpcg_rs as lrs
+
+        cfg = ProblemConfig(n=n, lattice=LATTICE, diel_type="chiral",
+                            nev=6)
+        s = KPointSolver(cfg, dtype=jnp.dtype(dtype), tol=tol,
+                         maxiter=maxiter, solver_impl="rs",
+                         real_boundary=True, refine=False)
+        m = 10
+        funcs = s._rs_hp_builder(m, 0, fusions=False)
+        sym_args = s._seg_sym_args(ALPHA)
+        rng = np.random.default_rng(7)
+        x0c = (rng.standard_normal((m, 3, n, n, n))
+               + 1j * rng.standard_normal((m, 3, n, n, n)))
+        x0 = jnp.asarray(x0c.astype(
+            np.complex64 if dtype == np.complex64 else np.complex128))
+
+        def pnorm2(v):
+            return jnp.sum(v[0] ** 2 + v[1] ** 2)
+
+        def core(d1, d0, ct, alpha, pnt, shift, x0_, diel, dft):
+            rdt = x0_.real.dtype
+            h_func, p_func, _ = funcs(d1, d0, ct, alpha, pnt, shift,
+                                      rdt, diel, dft)
+            xp = (x0_.real, x0_.imag)
             if name == "max":
-                r = lob.lobpcg_sep_max(h, x0[:6], 2, tol=tol,
-                                       maxiter=maxiter)
-                # The penalized operator's top eigenvalues are a huge
-                # near-degenerate cluster (penalty-dominated), so the
-                # solver's Ritz-movement stop fires within a few
-                # iterations while the block residual stays O(1e-1).
-                # Validate lam_max against an INDEPENDENT power-method
-                # estimate instead (reference pairs max-mode with
-                # orthogonalization.py:57-85 the same way).
-                from pcx.solvers.rayleigh_ritz import power_method
-                lam_pm, _, _ = power_method(h, x0[0], maxiter=200,
-                                            tol=1e-4)
-                rel = jnp.abs(r.lambdas[0].real - lam_pm) / lam_pm
-                return (r.status, r.iterations, r.lambdas[:2].real, rel)
-            bmax = jnp.max(jnp.abs(b.diag)) + 1e-30
-            m_func = lambda v: v + h_block(v, b) * (1.0 / bmax)
-            if name == "gep":
-                r = lob.lobpcg_gep(h, m_func, p, x0[:8], 4, tol=tol,
-                                   maxiter=maxiter)
-            else:
-                r = lob.descent_gep(h, m_func, p, x0[:8], 4, tol=tol,
-                                    maxiter=maxiter)
-            return (r.status, r.iterations, r.lambdas[:4].real,
-                    _resid_in_trace(h, r.x, r.lambdas, 4, m_func=m_func))
+                r = lrs.lobpcg_sep_max_rs(
+                    h_func, (xp[0][:6], xp[1][:6]), 2, tol=tol,
+                    maxiter=maxiter)
+                # Validate lam_max against an INDEPENDENT pair power
+                # method (the penalized operator's top cluster is
+                # penalty-dominated; see the complex smoke's rationale).
+                v = (xp[0][0], xp[1][0])
+                nrm = jnp.sqrt(pnorm2(v))
+                v = (v[0] / nrm, v[1] / nrm)
 
-        return jax.jit(boundary.real_boundary(core)), e
+                def pm_body(_, vv):
+                    w = h_func(vv)
+                    nw = jnp.sqrt(pnorm2(w))
+                    return (w[0] / nw, w[1] / nw)
+
+                v = jax.lax.fori_loop(0, 200, pm_body, v)
+                hv = h_func(v)
+                lam_pm = (jnp.sum(v[0] * hv[0] + v[1] * hv[1])
+                          / pnorm2(v))
+                rel = jnp.abs(r.lambdas[0] - lam_pm) / lam_pm
+                return (r.status, r.iterations, r.lambdas[:2], rel)
+            # M = I + B/bmax on pairs (same pencil as the complex smoke)
+            d_a64 = rs.build_curl_p(d1, d0, ct, alpha)
+            bd64, bs64 = rs.penalty_p(d_a64, pnt)
+            bmax = jnp.max(bd64) + 1e-30
+            b_diag = (bd64 / bmax).astype(rdt)
+            b_sd = ((bs64[0] / bmax).astype(rdt),
+                    (bs64[1] / bmax).astype(rdt))
+
+            def m_func(v):
+                bv = rs.h_block_p(v, b_diag, b_sd)
+                return (v[0] + bv[0], v[1] + bv[1])
+
+            solver = (lrs.lobpcg_gep_rs if name == "gep"
+                      else lrs.descent_gep_rs)
+            r = solver(h_func, m_func, p_func,
+                       (xp[0][:8], xp[1][:8]), 4, tol=tol,
+                       maxiter=maxiter)
+            # relative residual of the returned block, in-trace on pairs
+            xs = (r.x[0][:4].reshape(4, -1), r.x[1][:4].reshape(4, -1))
+            lamb = r.lambdas[:4][:, None]
+            mx = m_func((r.x[0][:4], r.x[1][:4]))
+            hx = h_func((r.x[0][:4], r.x[1][:4]))
+            rr_ = (hx[0].reshape(4, -1) - lamb * mx[0].reshape(4, -1),
+                   hx[1].reshape(4, -1) - lamb * mx[1].reshape(4, -1))
+            num = jnp.sqrt(jnp.sum(rr_[0] ** 2 + rr_[1] ** 2, axis=1))
+            den = jnp.sqrt(jnp.sum(xs[0] ** 2 + xs[1] ** 2, axis=1))
+            resid = jnp.max(num / ((jnp.abs(r.lambdas[:4]) + 1.0) * den))
+            return (r.status, r.iterations, r.lambdas[:4], resid)
+
+        # real_boundary: complex buffers cannot TRANSFER on this backend;
+        # x0 crosses as (..., 2) pairs and is rebuilt (outside the loop).
+        return jax.jit(boundary.real_boundary(core)), (sym_args, x0, s)
 
     def run_direct(name):
-        fn, e = direct_core(name)
-        st, it, lam, resid = fn(e["d_a"], e["b"], e["inv"], e["x0"],
-                                e["diel"], e["mats"])
+        fn, (sym_args, x0, s) = direct_core(name)
+        st, it, lam, resid = fn(*sym_args, x0, s.diel, s.dft)
         return (int(st), int(it), float(resid),
                 np.asarray(lam, np.float64))
 
