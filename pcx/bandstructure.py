@@ -302,10 +302,18 @@ class KPointSolver:
         if solver_impl == "auto":
             solver_impl = "rs" if (self.rb and solver == "softlock") \
                 else "complex"
-        if solver_impl == "rs" and solver not in ("softlock", "nolock"):
-            raise ValueError(f"solver {solver!r} requires "
-                             f"solver_impl='complex' (the pair-layout "
-                             f"solver implements softlock/nolock only)")
+        if solver_impl == "rs" and solver not in ("softlock", "nolock",
+                                                  "descent", "mixed",
+                                                  "davidson", "jd"):
+            raise ValueError(f"solver {solver!r} has no pair-layout "
+                             f"implementation; pass solver_impl='complex' "
+                             f"(CPU only — the TPU backend refuses complex "
+                             f"arithmetic inside while_loops)")
+        if solver_impl == "rs" and solver == "descent":
+            # descent_sep == softlock without the conjugate block
+            # (reference descent_sep, paper_2/lobpcg.py:847-974); the pair
+            # solver exposes this directly as use_p=False.
+            self.solver_opts.setdefault("use_p", False)
         self.impl = solver_impl
         if (self.impl == "rs" and jax.default_backend() != "cpu"
                 and jnp.dtype(dtype) == jnp.dtype(jnp.complex64)):
@@ -361,6 +369,11 @@ class KPointSolver:
         if segment_iters is None:
             segment_iters = 40 if (self.dev_sym
                                    and jax.default_backend() != "cpu") else 0
+        if solver in ("davidson", "jd") and self.impl == "rs":
+            # The pair Davidson/JD twins carry a fixed-cap SUBSPACE, not
+            # the lobpcg_rs state pytree — no trampoline; one-shot program
+            # (smoke-scale solves only stay under the tunnel's runtime cap).
+            segment_iters = 0
         self.segment_iters = int(segment_iters)
         if self.refine or self.dev_sym:
             d1 = stencils.symbol_1d(cfg.n, cfg.k, 1, 1.0 / cfg.n) / cfg.scal
@@ -468,13 +481,41 @@ class KPointSolver:
 
             h_func = _chunked_rs(h_one, m, c)
 
-            def p_func(v):
-                return rs.h_block_p(v, inv_diag, inv_sd)
+            if self._solver_name == "mixed":
+                # Mixed precision on pairs (reference lobpcg_sep_
+                # mixedprecision, paper_2/lobpcg.py:494-629: low-precision
+                # preconditioner, full-precision everything else).  The
+                # TPU iterate is already f32, so "low" is bfloat16.
+                lo = jnp.bfloat16
+                inv_d_lo = inv_diag.astype(lo)
+                inv_s_lo = (inv_sd[0].astype(lo), inv_sd[1].astype(lo))
 
+                def p_func(v):
+                    w = rs.h_block_p((v[0].astype(lo), v[1].astype(lo)),
+                                     inv_d_lo, inv_s_lo)
+                    return (w[0].astype(rdt), w[1].astype(rdt))
+            else:
+                def p_func(v):
+                    return rs.h_block_p(v, inv_diag, inv_sd)
+
+            if self._solver_name in ("davidson", "jd"):
+                # pair Davidson/JD twins (fixed-cap subspace; one-shot
+                # program — solve() disables the trampoline for these)
+                from pcx.solvers import davidson as dav
+                fn = (dav.davidson_sep if self._solver_name == "davidson"
+                      else dav.jd_sep)
+                kw = ({"subspace": opts["subspace"]}
+                      if "subspace" in opts else {})
+                res = fn(h_func, p_func, x0p, nev, tol=tol,
+                         maxiter=maxiter, **kw)
+                return res._replace(
+                    x=jax.lax.complex(*res.x).astype(x0.dtype),
+                    lambdas=res.lambdas.astype(rdt))
             rs_opts = _filter_rs_opts(opts)
             rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd,
                                  layout=opts.get("rp_layout", "cm"))
-                  if opts.get("rp_fuse", "xla") == "pallas" else None)
+                  if (opts.get("rp_fuse", "xla") == "pallas"
+                      and self._solver_name != "mixed") else None)
             res = lob_rs.lobpcg_sep_rs(h_func, p_func, x0p, nev, tol=tol,
                                        maxiter=maxiter, locking=locking,
                                        rp_fused=rp, **rs_opts)
@@ -560,12 +601,26 @@ class KPointSolver:
 
             h_func = _chunked_rs(h_one, m, c)
 
-            def p_func(v):
-                return rs.h_block_p(v, inv_diag, inv_sd)
+            if self._solver_name == "mixed":
+                # bf16 preconditioner (see _run_rs_body's mixed branch)
+                lo = jnp.bfloat16
+                inv_d_lo = inv_diag.astype(lo)
+                inv_s_lo = (inv_sd[0].astype(lo), inv_sd[1].astype(lo))
 
+                def p_func(v):
+                    w = rs.h_block_p((v[0].astype(lo), v[1].astype(lo)),
+                                     inv_d_lo, inv_s_lo)
+                    return (w[0].astype(rdt), w[1].astype(rdt))
+            else:
+                def p_func(v):
+                    return rs.h_block_p(v, inv_diag, inv_sd)
+
+            # the fused residual+precond kernel bypasses p_func, so it
+            # cannot honor the mixed variant's bf16 preconditioner
             rp = (_make_rp_fused(m, rdt, inv_diag, inv_sd,
                                  layout=fusion_opts.get("rp_layout", "cm"))
-                  if rp_mode == "pallas" else None)
+                  if rp_mode == "pallas" and self._solver_name != "mixed"
+                  else None)
             return h_func, p_func, rp
 
         return funcs

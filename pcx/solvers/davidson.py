@@ -209,7 +209,12 @@ def davidson_sep(h_func, p_func, x0, nev, tol: float = TOL,
                  maxiter: int = MAXITER, subspace: int = N_SUBSPACE,
                  **_) -> SolveResult:
     """Preconditioned block Davidson (reference: davidson_sep,
-    paper_1_python/eigen_solver.py:848-983)."""
+    paper_1_python/eigen_solver.py:848-983).  Pass ``x0`` as a (re, im)
+    pair to run the all-real pair twin (required on the TPU backend,
+    which refuses complex arithmetic inside while_loops)."""
+    if isinstance(x0, tuple):
+        return _davidson_p(h_func, p_func, x0, nev, "davidson", tol,
+                           maxiter, max(subspace, 3 * x0[0].shape[0]), 0)
     return _davidson(h_func, p_func, x0, nev, "davidson", tol, maxiter,
                      max(subspace, 3 * x0.shape[0]), 0)
 
@@ -218,6 +223,206 @@ def jd_sep(h_func, p_func, x0, nev, tol: float = TOL,
            maxiter: int = MAXITER, subspace: int = N_SUBSPACE,
            inner_steps: int = 5, **_) -> SolveResult:
     """Block Jacobi-Davidson with CG-solved correction equation
-    (reference: jd_sep, paper_1_python/eigen_solver.py:985-1124)."""
+    (reference: jd_sep, paper_1_python/eigen_solver.py:985-1124).
+    Pair ``x0`` selects the all-real pair twin (see davidson_sep)."""
+    if isinstance(x0, tuple):
+        return _davidson_p(h_func, p_func, x0, nev, "jd", tol, maxiter,
+                           max(subspace, 3 * x0[0].shape[0]), inner_steps)
     return _davidson(h_func, p_func, x0, nev, "jd", tol, maxiter,
                      max(subspace, 3 * x0.shape[0]), inner_steps)
+
+
+# ---------------------------------------------------------------------------
+# Pair-layout twins (round-5): the axon TPU backend refuses ANY complex
+# arithmetic inside lax.while_loop (BENCH_NOTES round-5 ladder), so the
+# complex _davidson above can only run on CPU.  This is the mechanical
+# pair transform using the same proven toolbox as lobpcg_rs
+# (gram_f64_p / mix_pair / masked_loewdin_p / project_off_p /
+# eigh_f64_embedding); davidson_sep/jd_sep dispatch on the input type.
+# ---------------------------------------------------------------------------
+
+
+def _davidson_p(h_func, p_func, x0, nev: int, correction: str, tol: float,
+                maxiter: int, cap: int, inner_steps: int) -> SolveResult:
+    m = x0[0].shape[0]
+    rdtype = x0[0].dtype
+    f64 = jnp.float64
+    tiny = float(jnp.finfo(rdtype).tiny ** 0.5)
+    jitter = 100.0 * float(jnp.finfo(rdtype).eps)
+    shape_rest = x0[0].shape[1:]
+
+    def flat(a):
+        return (a[0].reshape(a[0].shape[0], -1),
+                a[1].reshape(a[1].shape[0], -1))
+
+    def unflat(a, lead):
+        return (a[0].reshape((lead,) + shape_rest),
+                a[1].reshape((lead,) + shape_rest))
+
+    def scale(a, s):  # s real (p,) per-row
+        sc = s.reshape((-1,) + (1,) * (a[0].ndim - 1)).astype(rdtype)
+        return (a[0] * sc, a[1] * sc)
+
+    def axpy(al, x, y):  # al real (p,) rows: al*x + y
+        sc = al.reshape((-1,) + (1,) * (x[0].ndim - 1)).astype(rdtype)
+        return (sc * x[0] + y[0], sc * x[1] + y[1])
+
+    def sub(a, b):
+        return (a[0] - b[0], a[1] - b[1])
+
+    # Init: normalize + Loewdin + Ritz rotate (all pair).
+    n0 = rr_mod.colnorms_p(flat(x0))
+    x = scale(x0, 1.0 / jnp.maximum(n0, tiny))
+    xf, _ = rr_mod.masked_loewdin_p(flat(x), jnp.ones(m, rdtype), jitter)
+    hxf = flat(h_func(unflat(xf, m)))
+    t_re, t_im = rr_mod.gram_f64_p(xf, hxf)
+    theta0, vr, vi = rr_mod.eigh_f64_embedding(0.5 * (t_re + t_re.T),
+                                               0.5 * (t_im - t_im.T))
+    c0 = (vr.astype(rdtype), vi.astype(rdtype))
+    x = unflat(rr_mod.mix_pair(c0, xf), m)
+    hx = unflat(rr_mod.mix_pair(c0, hxf), m)
+
+    z_store = jnp.zeros((cap,) + shape_rest, rdtype)
+    v0 = (z_store.at[:m].set(x[0]), z_store.at[:m].set(x[1]))
+    hv0 = (z_store.at[:m].set(hx[0]), z_store.at[:m].set(hx[1]))
+    fill0 = jnp.concatenate([jnp.ones(m, rdtype),
+                             jnp.zeros(cap - m, rdtype)])
+
+    state0 = dict(it=jnp.asarray(0, jnp.int32),
+                  status=jnp.asarray(Status.RUNNING, jnp.int32),
+                  lambdas=theta0[:m].astype(rdtype),
+                  x=x, hx=hx, v=v0, hv=hv0, fill=fill0,
+                  res_his=jnp.full((maxiter,), jnp.nan, rdtype))
+
+    def correction_block(r, x, lambdas):
+        if correction == "davidson":
+            return p_func(r)
+        xf = flat(x)
+
+        def proj(z):
+            zf = flat(z)
+            coeff = rr_mod.gram_p32(xf, zf)
+            return unflat(sub(zf, rr_mod.mix_pair(coeff, xf)), m)
+
+        def a_op(z):
+            pz = proj(z)
+            hz = h_func(pz)
+            return proj(sub(hz, scale(pz, lambdas)))
+
+        b = proj((-r[0], -r[1]))
+        t = (jnp.zeros_like(b[0]), jnp.zeros_like(b[1]))
+        res = sub(b, a_op(t))
+        z = proj(p_func(res))
+        p = z
+
+        def dotr(a_, b_):
+            return jnp.sum(a_[0] * b_[0] + a_[1] * b_[1],
+                           axis=tuple(range(1, a_[0].ndim)))
+
+        rz = dotr(res, z)
+
+        def cg_body(_, carry):
+            t, res, p, rz = carry
+            ap = a_op(p)
+            pap = dotr(p, ap)
+            alpha = rz / jnp.where(jnp.abs(pap) > tiny, pap, 1.0)
+            t = axpy(alpha, p, t)
+            res = axpy(-alpha, ap, res)
+            z = proj(p_func(res))
+            rz_new = dotr(res, z)
+            beta = rz_new / jnp.where(jnp.abs(rz) > tiny, rz, 1.0)
+            p = axpy(beta, p, z)
+            return t, res, p, rz_new
+
+        t, _, _, _ = lax.fori_loop(0, inner_steps, cg_body,
+                                   (t, res, p, rz))
+        return t
+
+    def cond_fun(s):
+        return (s["status"] == Status.RUNNING) & (s["it"] < maxiter)
+
+    def body_fun(s):
+        it = s["it"]
+        r = sub(scale(s["x"], s["lambdas"]), s["hx"])
+        res = rr_mod.colnorms_p(flat(r))
+        res_his = s["res_his"].at[it].set(jnp.linalg.norm(res[:nev]))
+        converged = jnp.max(res[:nev]) < tol
+        is_nan = jnp.isnan(res).any()
+        status = jnp.where(is_nan, Status.NAN,
+                           jnp.where(converged, Status.CONVERGED,
+                                     Status.RUNNING)).astype(jnp.int32)
+
+        def finish(_):
+            return dict(s, it=it, status=status, res_his=res_his)
+
+        def step(_):
+            n_fill = jnp.sum(s["fill"]).astype(jnp.int32)
+            restart = n_fill + m > cap
+
+            def sel(a, b):
+                return jnp.where(restart, a, b)
+
+            v = (sel(z_store.at[:m].set(s["x"][0]), s["v"][0]),
+                 sel(z_store.at[:m].set(s["x"][1]), s["v"][1]))
+            hv = (sel(z_store.at[:m].set(s["hx"][0]), s["hv"][0]),
+                  sel(z_store.at[:m].set(s["hx"][1]), s["hv"][1]))
+            fill = jnp.where(restart, fill0, s["fill"])
+            n_fill = jnp.sum(fill).astype(jnp.int32)
+
+            t = correction_block(r, s["x"], s["lambdas"])
+            tf = flat(t)
+            tn = rr_mod.colnorms_p(tf)
+            tf = rr_mod.scale_cols_p(tf, 1.0 / jnp.maximum(tn, tiny))
+            fmask = fill[:, None].astype(rdtype)
+            vf_m = (flat(v)[0] * fmask, flat(v)[1] * fmask)
+            tf, _ = rr_mod.project_off_p(tf, vf_m)
+            rho = rr_mod.colnorms_p(tf)
+            ok = (rho > 1e3 * jnp.finfo(rdtype).eps).astype(rdtype)
+            tf = rr_mod.scale_cols_p(tf, ok)
+            tf, _ = rr_mod.masked_loewdin_p(tf, ok, jitter, passes=2)
+            ht = flat(h_func(unflat(tf, m)))
+
+            idx = n_fill + jnp.cumsum(ok).astype(jnp.int32) - 1
+            idx = jnp.where(ok > 0, idx, cap - 1)
+            okc = ok[:, None]
+
+            def scatter(store, new):
+                sf = store.reshape(cap, -1)
+                return sf.at[idx].set(
+                    jnp.where(okc > 0, new, sf[idx])).reshape(store.shape)
+
+            v = (scatter(v[0], tf[0]), scatter(v[1], tf[1]))
+            hv = (scatter(hv[0], ht[0]), scatter(hv[1], ht[1]))
+            fill = fill.at[idx].set(jnp.where(ok > 0, 1.0, fill[idx]))
+
+            vf, hvf = flat(v), flat(hv)
+            keep64 = (fill[:, None] * fill[None, :]).astype(f64)
+            fm = fill[:, None].astype(rdtype)
+            t_re, t_im = rr_mod.gram_f64_p((vf[0] * fm, vf[1] * fm), hvf)
+            t_re = 0.5 * (t_re + t_re.T) * keep64
+            t_im = 0.5 * (t_im - t_im.T) * keep64
+            dead_val = jnp.sqrt(jnp.sum(t_re**2) + jnp.sum(t_im**2)) + 1.0
+            t_re = t_re - dead_val * jnp.diag(1.0 - fill).astype(f64)
+            theta_all, u_re, u_im = rr_mod.eigh_f64_embedding(t_re, t_im)
+            n_dead = (cap - jnp.sum(fill)).astype(jnp.int32)
+            theta = lax.dynamic_slice(theta_all, (n_dead,), (m,))
+            c_re = lax.dynamic_slice(u_re, (jnp.int32(0), n_dead), (cap, m))
+            c_im = lax.dynamic_slice(u_im, (jnp.int32(0), n_dead), (cap, m))
+            cp = ((c_re * fill[:, None].astype(f64)).astype(rdtype),
+                  (c_im * fill[:, None].astype(f64)).astype(rdtype))
+            x_new = unflat(rr_mod.mix_pair(cp, vf), m)
+            hx_new = unflat(rr_mod.mix_pair(cp, hvf), m)
+
+            return dict(s, it=it + 1,
+                        status=jnp.asarray(Status.RUNNING, jnp.int32),
+                        lambdas=theta.astype(rdtype),
+                        x=x_new, hx=hx_new, v=v, hv=hv, fill=fill,
+                        res_his=res_his)
+
+        return lax.cond(status != Status.RUNNING, finish, step, None)
+
+    final = lax.while_loop(cond_fun, body_fun, state0)
+    status = jnp.where(final["status"] == Status.RUNNING, Status.MAXITER,
+                       final["status"]).astype(jnp.int32)
+    return SolveResult(final["lambdas"], final["x"], final["it"], status,
+                       final["res_his"])

@@ -785,3 +785,40 @@ def power_method(a_func, x0: jnp.ndarray, maxiter: int = 1000,
         cond, body, (0, x0, jnp.asarray(0.0, x0.real.dtype),
                      jnp.asarray(jnp.inf, x0.real.dtype)))
     return lam, x, i
+
+
+def masked_loewdin_p(block, mask, jitter: float, hblock=None,
+                     passes: int = 1, axis_name=None):
+    """Pair twin of :func:`masked_loewdin`: Loewdin/SVQB orthonormalization
+    of pair row-blocks (f64 Gram + real-embedding eigh + pair mixes — no
+    complex value anywhere, so it is admissible inside TPU while_loops)."""
+    keep64 = (mask[:, None] * mask[None, :]).astype(jnp.float64)
+    dead64 = jnp.diag(1.0 - mask).astype(jnp.float64)
+    rdt = block[0].dtype
+    for _ in range(passes):
+        g_re, g_im = gram_f64_p(block, block, axis_name=axis_name)
+        g_re = 0.5 * (g_re + g_re.T) * keep64 + dead64
+        g_im = 0.5 * (g_im - g_im.T) * keep64
+        s_re, s_im = _loewdin_mixer(g_re, g_im, jitter)
+        sp = (s_re.astype(rdt), s_im.astype(rdt))
+        mk = mask[:, None].astype(rdt)
+        b = mix_pair(sp, block)
+        block = (b[0] * mk, b[1] * mk)
+        if hblock is not None:
+            hb = mix_pair(sp, hblock)
+            hblock = (hb[0] * mk, hb[1] * mk)
+    return block, hblock
+
+
+def project_off_p(block, basis, hblock=None, hbasis=None, axis_name=None):
+    """Pair twin of :func:`project_off`: project pair rows off an
+    orthonormal pair basis."""
+    cr, ci = gram_p32(basis, block, axis_name=axis_name)
+    # coeff^H enters the update: out = block - basis^T conj-combination;
+    # mix_pair contracts over the BASIS index with coeff (p_basis, p_block)
+    mx = mix_pair((cr, ci), basis)
+    block = (block[0] - mx[0], block[1] - mx[1])
+    if hblock is not None:
+        mh = mix_pair((cr, ci), hbasis)
+        hblock = (hblock[0] - mh[0], hblock[1] - mh[1])
+    return block, hblock

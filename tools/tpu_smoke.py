@@ -133,9 +133,16 @@ def run_variants(n, dtype, tol, maxiter, names):
 
     def run_kps(name):
         cfg = ProblemConfig(n=n, lattice=LATTICE, diel_type="chiral", nev=6)
+        # Round-5: every KPointSolver-routed variant runs the PAIR layer
+        # (solver_impl="rs") — the complex-layout family cannot execute on
+        # this backend at all (complex-in-while_loop is UNIMPLEMENTED,
+        # BENCH_NOTES round-5).  softlock/nolock/descent/mixed map onto
+        # lobpcg_sep_rs (use_p / bf16-preconditioner levers); davidson/jd
+        # run their pair twins (davidson._davidson_p).
+        impl = "rs"
         s = KPointSolver(cfg, dtype=jnp.dtype(dtype), tol=tol,
                          maxiter=maxiter, solver=name,
-                         solver_impl="complex")
+                         solver_impl=impl)
         res = s.solve(ALPHA, verbose=False)
         dev = float(np.max(np.abs(np.asarray(res.omega)
                                   - np.asarray(res.omega_re))))
@@ -243,18 +250,29 @@ def run_variants(n, dtype, tol, maxiter, names):
 
     def run_default():
         """Explicit-matrix path: shifted 1D Laplacian, exact eigenvalues
-        3 - 2 cos(k pi/(nd+1))."""
+        3 - 2 cos(k pi/(nd+1)).  Round-5: runs the PAIR solver on the
+        split-real matrix (the complex lobpcg_default body cannot execute
+        inside while_loop on this backend); reference lobpcg_default,
+        paper_2/lobpcg.py:28-61."""
         from pcx import boundary as bd
+        from pcx.solvers import lobpcg_rs as lrs
         nd = 64
-        a = (np.diag(np.full(nd, 3.0 + 0j))
+        a = (np.diag(np.full(nd, 3.0))
              - np.diag(np.ones(nd - 1), 1)
-             - np.diag(np.ones(nd - 1), -1)).astype(dtype)
+             - np.diag(np.ones(nd - 1), -1))
+        rdt = jnp.float32 if dtype == np.complex64 else jnp.float64
+        rng = np.random.default_rng(11)
+        x0 = rng.standard_normal((7, nd))
 
-        def core(a_):
-            r = lob.lobpcg_default(a_, nev=4, tol=tol, maxiter=maxiter)
-            return r.status, r.iterations, r.lambdas[:4].real
+        def core(ar, x0r):
+            h = lambda v: (v[0] @ ar.T, v[1] @ ar.T)
+            r = lrs.lobpcg_sep_rs(h, lambda v: v,
+                                  (x0r, jnp.zeros_like(x0r)), 4,
+                                  tol=tol, maxiter=maxiter)
+            return r.status, r.iterations, r.lambdas[:4]
 
-        st, it, lam = jax.jit(bd.real_boundary(core))(a)
+        st, it, lam = jax.jit(core)(jnp.asarray(a, rdt),
+                                    jnp.asarray(x0, rdt))
         exact = 3.0 - 2.0 * np.cos(np.arange(1, 5) * np.pi / (nd + 1))
         dev = float(np.max(np.abs(np.asarray(lam, np.float64) - exact)))
         return int(st), int(it), dev, np.asarray(lam, np.float64)
