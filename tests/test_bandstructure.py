@@ -546,6 +546,19 @@ def test_doom_check_off_burns_warm_maxiter():
     assert solver.last_doom is None
 
 
+def test_precompile_buckets_compiles_and_preserves_solve():
+    """precompile_buckets (bench warmup: kill the ~300 s mid-sweep bucket
+    compile) must compile every non-full w_cap bucket program via no-op
+    it_stop=0 runs and leave subsequent solves unchanged."""
+    from pcx.solvers.lobpcg import Status
+    solver = _rs_seg_solver(solver_opts={"w_cap": "auto"})
+    alpha = np.array([np.pi, 0, 0])
+    n_buckets = solver.precompile_buckets(alpha)
+    assert n_buckets == 2, n_buckets   # m // 4 and m // 2 buckets
+    r = solver.solve(alpha, seed=1, validate_result=False)
+    assert r.status in (Status.CONVERGED, Status.FLOOR)
+
+
 def test_heartbeat_touched_per_segment(tmp_path, monkeypatch):
     """PCX_HEARTBEAT liveness: every completed solver segment touches the
     file (the supervisor's heartbeat watchdog reads its mtime)."""
