@@ -58,19 +58,33 @@ def main(n=150, nev=6, m=8, tol=1e-4, maxiter=3):
                              tol=tol, maxiter=maxiter)
     lam = np.asarray(r.lambdas, np.float64)[:nev] - float(shift)
     t = time.time() - t0
+    from pcx.utils import sqrt_robust
+    omega = [float(sqrt_robust(v) * cfg.scal / (2 * np.pi)) for v in lam]
     rec = {"demo": "sharded_n150", "n": n, "nev": nev, "m": m,
            "mesh": "grid=6 (virtual CPU)", "dtype": "complex64",
            "iters": int(r.iterations), "status": int(r.status),
            "seconds": round(t, 1),
            "lambdas": [float(f"{v:.6g}") for v in lam],
+           "omega": [float(f"{v:.6g}") for v in omega],
            "finite": bool(np.isfinite(lam).all())}
     os.makedirs("bench_logs", exist_ok=True)
     with open("bench_logs/sharded_demo.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
     assert rec["finite"], lam
-    assert int(r.iterations) >= maxiter - 1
+    assert int(r.iterations) >= min(maxiter, 2) - 1
+    return rec
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--maxiter", type=int, default=3,
+                    help="3 = compile-and-iterate demo; ~200 with "
+                         "--tol 1e-4 runs the solve to CONVERGENCE on the "
+                         "virtual mesh (hours on this 1-core host)")
+    ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--m", type=int, default=8)
+    ap.add_argument("--nev", type=int, default=6)
+    a = ap.parse_args()
+    main(nev=a.nev, m=a.m, tol=a.tol, maxiter=a.maxiter)
