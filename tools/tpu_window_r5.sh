@@ -33,9 +33,11 @@ timeout 1500 python -u tools/rescue_point.py --n 120 --lattice bcc_sg \
 echo "# bcc_sg k=100 rescue rc=${PIPESTATUS[0]}" | tee -a "$LOG"
 sleep 30
 
-timeout 1500 python -u tools/rescue_point.py --n 120 --lattice bcc_dg \
-    --indices 99 --steps coarse f64 2>&1 | tee -a "$LOG"
-echo "# bcc_dg k=99 rescue rc=${PIPESTATUS[0]}" | tee -a "$LOG"
+# (bcc_dg k=99 healed in-campaign via seed-salt retry — no rescue needed)
+
+timeout 1200 python -u tools/rescue_point.py --n 100 --lattice sc_curv \
+    --indices 0 --steps coarse f64 2>&1 | tee -a "$LOG"
+echo "# sc_curv100 k=0 rescue rc=${PIPESTATUS[0]}" | tee -a "$LOG"
 sleep 30
 
 timeout 3000 python -u tools/tpu_smoke.py --per-timeout 600 --breather 20 \
