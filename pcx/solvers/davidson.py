@@ -405,9 +405,14 @@ def _davidson_p(h_func, p_func, x0, nev: int, correction: str, tol: float,
             t_re = t_re - dead_val * jnp.diag(1.0 - fill).astype(f64)
             theta_all, u_re, u_im = rr_mod.eigh_f64_embedding(t_re, t_im)
             n_dead = (cap - jnp.sum(fill)).astype(jnp.int32)
-            theta = lax.dynamic_slice(theta_all, (n_dead,), (m,))
-            c_re = lax.dynamic_slice(u_re, (jnp.int32(0), n_dead), (cap, m))
-            c_im = lax.dynamic_slice(u_im, (jnp.int32(0), n_dead), (cap, m))
+            # static one-hot selection instead of dynamic_slice-at-traced-
+            # offset (UNIMPLEMENTED inside while_loop on this backend —
+            # see lobpcg_gep_rs)
+            sel = (jnp.arange(cap)[:, None]
+                   == (n_dead + jnp.arange(m))[None, :]).astype(f64)
+            theta = theta_all @ sel
+            c_re = u_re @ sel
+            c_im = u_im @ sel
             cp = ((c_re * fill[:, None].astype(f64)).astype(rdtype),
                   (c_im * fill[:, None].astype(f64)).astype(rdtype))
             x_new = unflat(rr_mod.mix_pair(cp, vf), m)

@@ -776,13 +776,18 @@ def lobpcg_gep_rs(
             theta_all, c_all = rs_mod.pencil_f64_embedding(
                 (gh_re, gh_im), (g_re, g_im), split=split)
             n_dead = (3 * m - jnp.sum(basis_mask)).astype(jnp.int32)
-            theta = lax.dynamic_slice(theta_all, (n_dead,), (m,))
-            c_re = lax.dynamic_slice(c_all[0], (jnp.int32(0), n_dead),
-                                     (3 * m, m))
-            c_im = lax.dynamic_slice(c_all[1], (jnp.int32(0), n_dead),
-                                     (3 * m, m))
+            # Dead-column compaction by STATIC one-hot selection GEMM:
+            # lax.dynamic_slice at a traced offset INSIDE a while_loop is
+            # the one remaining UNIMPLEMENTED construct on this backend
+            # (round-5 on-chip smoke: max/gep refused while every other
+            # pair program passed; dynamic-UPDATE-slice and out-of-loop
+            # dynamic_slice both compile).  sel[i, j] = 1 iff i = n_dead+j.
+            sel = (jnp.arange(3 * m)[:, None]
+                   == (n_dead + jnp.arange(m))[None, :]).astype(f64)
+            theta = theta_all @ sel
             bm = basis_mask.astype(f64)[:, None]
-            c_re, c_im = c_re * bm, c_im * bm
+            c_re = (c_all[0] @ sel) * bm
+            c_im = (c_all[1] @ sel) * bm
             cxr, cwr, cpr = c_re[:m], c_re[m:2 * m], c_re[2 * m:]
             cxi, cwi, cpi = c_im[:m], c_im[m:2 * m], c_im[2 * m:]
             cx = (cxr.astype(rdtype), cxi.astype(rdtype))
