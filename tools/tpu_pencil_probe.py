@@ -126,6 +126,27 @@ def run_stage(stage: str) -> dict:
         gp32 = (gp[0].astype(jnp.float32), gp[1].astype(jnp.float32))
         return {"ok": True, "value": float(jax.jit(core)(gp32))}
 
+    if stage == "p11_pencil_while":
+        # p6 proved pencil-in-FORI passes; the round-5 re-smoke (max/gep
+        # still refused after the one-hot fix while davidson — same body
+        # minus the pencil — passed) points at pencil inside a genuine
+        # WHILE loop (data-dependent trip count) + lax.cond, the exact
+        # solver shape.
+        def core(g, t):
+            def cond(s):
+                return s[0] < 3
+
+            def body(s):
+                i, acc = s
+                def run(_):
+                    theta, c = rs.pencil_f64_embedding(t, g)
+                    return acc + theta.sum() + jnp.abs(c[0]).max()
+                acc2 = jax.lax.cond(acc < 1e12, run, lambda _: acc, None)
+                return i + 1, acc2
+            return jax.lax.while_loop(cond, body,
+                                      (jnp.asarray(0, jnp.int32), 0.0))[1]
+        return {"ok": True, "value": float(jax.jit(core)(gp, tp))}
+
     if stage == "p6_pencil_fori":
         def core(g, t):
             def body(_, acc):
