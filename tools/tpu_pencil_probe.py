@@ -147,6 +147,51 @@ def run_stage(stage: str) -> dict:
                                       (jnp.asarray(0, jnp.int32), 0.0))[1]
         return {"ok": True, "value": float(jax.jit(core)(gp, tp))}
 
+    if stage == "p12_gep_rs_tiny":
+        # Round-5 close: after the one-hot fix, max/gep/descent_gep STILL
+        # refuse over the Maxwell pair apply while (a) davidson with the
+        # same compaction, (b) one-shot lobpcg_sep_rs (the on-chip
+        # 'default' variant), and (c) pencil-inside-while (p11) all
+        # compile.  This stage runs lobpcg_gep_rs itself on a tiny
+        # EXPLICIT split-real pencil: if it passes, the refusal is an
+        # interaction between gep_rs's body and the production
+        # h_func/p_func closures; if it refuses, bisect gep_rs's body
+        # directly (cat / scale / triple-upd / M-residual chain).
+        from pcx.solvers import lobpcg_rs as lrs
+        n2, nev2 = 48, 3
+        aa = rng.standard_normal((n2, n2)) + 1j * rng.standard_normal(
+            (n2, n2))
+        bb2 = rng.standard_normal((n2, n2)) + 1j * rng.standard_normal(
+            (n2, n2))
+        a_h = (aa @ aa.conj().T + np.eye(n2))
+        b_h = (bb2 @ bb2.conj().T + 10 * np.eye(n2))
+        x0 = rng.standard_normal((nev2 + 3, n2))
+        x0i = rng.standard_normal((nev2 + 3, n2))
+
+        def pair_apply(mr, mi):
+            def f(v):
+                return (v[0] @ mr.T + v[1] @ mi.T,
+                        v[1] @ mr.T - v[0] @ mi.T)
+            return f
+
+        def core(ar, ai, br, bi, xr, xi):
+            r = lrs.lobpcg_gep_rs(pair_apply(ar, ai), pair_apply(br, bi),
+                                  lambda v: v, (xr, xi), nev2,
+                                  tol=1e-4, maxiter=60)
+            return r.status, r.iterations, r.lambdas[:nev2]
+
+        f32 = jnp.float32
+        st, it, lam = jax.jit(core)(
+            jnp.asarray(a_h.real, f32), jnp.asarray(a_h.imag, f32),
+            jnp.asarray(b_h.real, f32), jnp.asarray(b_h.imag, f32),
+            jnp.asarray(x0, f32), jnp.asarray(x0i, f32))
+        import scipy.linalg as sla
+        want = np.sort(sla.eigh(a_h, b_h, eigvals_only=True))[:nev2]
+        dev = float(np.max(np.abs(np.sort(np.asarray(lam, np.float64))
+                                  - want) / np.abs(want)))
+        return {"ok": dev < 1e-2, "status": int(st), "iters": int(it),
+                "rel_dev": float(f"{dev:.3e}")}
+
     if stage == "p6_pencil_fori":
         def core(g, t):
             def body(_, acc):
